@@ -1,0 +1,228 @@
+"""Runtime configuration.
+
+Mirrors the five parameter structs of the reference
+(`include/adapter/parameters.h:17-111`) as Python dataclasses, plus a parser
+for deal.II `ParameterHandler` ``.prm`` text files so that reference
+configurations (e.g. `/root/reference/parameters.prm`) run unchanged.
+
+Derived quantities follow `include/adapter/parameters.cc:177-205`:
+  * lambda = 2 mu nu / (1 - 2 nu)
+  * data_consistent is classified from the read-data name prefix
+    ("Stress" -> consistent, "Force" -> conservative).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, Tuple
+
+
+@dataclasses.dataclass
+class TimeParameters:
+    """Simulation time properties (`parameters.h:17-27`)."""
+
+    end_time: float = 1.0
+    delta_t: float = 0.1
+    output_interval: int = 1
+    output_folder: str = ""
+
+
+@dataclasses.dataclass
+class SystemParameters:
+    """Material properties and body forces (`parameters.h:32-42`)."""
+
+    nu: float = 0.3
+    mu: float = 1538462.0
+    lmbda: float = -1.0  # derived; 'lambda' is a Python keyword
+    rho: float = 1000.0
+    body_force: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def kappa(self) -> float:
+        """Bulk modulus used by the Neo-Hookean material
+        (`compressible_neo_hook_material.h:20`)."""
+        return (2.0 * self.mu * (1.0 + self.nu)) / (3.0 * (1.0 - 2.0 * self.nu))
+
+
+@dataclasses.dataclass
+class SolverParameters:
+    """Linear/nonlinear solver knobs (`parameters.h:48-60`)."""
+
+    model: str = "linear"  # "linear" | "neo-Hookean"
+    type_lin: str = "Direct"  # "CG" | "Direct"
+    tol_lin: float = 1e-6  # relative CG tol (nonlinear model only)
+    max_iterations_lin: float = 1.0  # CG cap = n_dofs * this
+    max_iterations_NR: int = 10
+    tol_f: float = 1e-9
+    tol_u: float = 1e-6
+
+
+@dataclasses.dataclass
+class DiscretizationParameters:
+    """FE degree and time-integrator coefficients (`parameters.h:68-79`)."""
+
+    poly_degree: int = 3
+    theta: float = 0.5  # linear model: one-step theta scheme
+    beta: float = 0.25  # nonlinear model: Newmark-beta
+    gamma: float = 0.5
+
+
+@dataclasses.dataclass
+class CouplingParameters:
+    """preCICE adapter configuration (`parameters.h:87-100`)."""
+
+    scenario: str = "FSI3"  # "FSI3" | "PF"
+    config_file: str = "precice-config.xml"
+    participant_name: str = "dealiisolver"
+    mesh_name: str = "dealii-mesh"
+    read_data_name: str = "Stress"
+    write_data_name: str = "Displacement"
+    flap_location: float = 0.0
+    data_consistent: bool = True
+
+
+@dataclasses.dataclass
+class AllParameters(
+    SolverParameters,
+    DiscretizationParameters,
+    SystemParameters,
+    TimeParameters,
+    CouplingParameters,
+):
+    """Aggregate of every runtime knob, mirroring the multiple-inheritance
+    `Parameters::AllParameters` (`parameters.h:103-111`).
+
+    Extra TPU-native knobs (not in the reference) live at the end.
+    """
+
+    # --- TPU-native extensions -------------------------------------------
+    dim: int = 2  # the reference fixes this at compile time (-DDIM)
+    dtype: str = "float64"  # "float64" | "float32"
+    use_pallas: bool = False  # Pallas element kernels on TPU
+    n_devices: int = 1  # device-mesh size for sharded element batches
+
+    def __post_init__(self):
+        self.finalize()
+
+    def finalize(self) -> "AllParameters":
+        """Derive dependent quantities (`parameters.cc:189-200`)."""
+        self.lmbda = 2.0 * self.mu * self.nu / (1.0 - 2.0 * self.nu)
+        if self.read_data_name.startswith("Stress"):
+            self.data_consistent = True
+        elif self.read_data_name.startswith("Force"):
+            self.data_consistent = False
+        else:
+            raise ValueError(
+                "Unknown read data type. Please use 'Force' or 'Stress' in "
+                "the read data naming."
+            )
+        if self.model not in ("linear", "neo-Hookean"):
+            raise ValueError(f"Unknown model '{self.model}'")
+        if self.type_lin not in ("CG", "Direct"):
+            raise ValueError(f"Unknown linear solver type '{self.type_lin}'")
+        if not (-1.0 < self.nu < 0.5):
+            raise ValueError(f"Poisson's ratio out of range: {self.nu}")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# .prm parsing
+# ---------------------------------------------------------------------------
+
+# Map of (subsection, key) -> attribute name on AllParameters. Key names are
+# those declared in `parameters.cc:5-174`; we additionally accept the
+# "Linear solver"/"Nonlinear solver" subsections that appear in
+# `source/nonlinear_elasticity/nonlinear_elasticity.prm`.
+_PRM_KEYMAP: Dict[Tuple[str, str], str] = {
+    ("time", "end time"): "end_time",
+    ("time", "time step size"): "delta_t",
+    ("time", "output interval"): "output_interval",
+    ("time", "output folder"): "output_folder",
+    ("system properties", "shear modulus"): "mu",
+    ("system properties", "poisson's ratio"): "nu",
+    ("system properties", "rho"): "rho",
+    ("system properties", "body forces"): "body_force",
+    ("solver", "model"): "model",
+    ("solver", "solver type"): "type_lin",
+    ("solver", "residual"): "tol_lin",
+    ("solver", "max iteration multiplier"): "max_iterations_lin",
+    ("solver", "max iterations newton-raphson"): "max_iterations_NR",
+    ("solver", "tolerance force"): "tol_f",
+    ("solver", "tolerance displacement"): "tol_u",
+    ("linear solver", "solver type"): "type_lin",
+    ("linear solver", "residual"): "tol_lin",
+    ("linear solver", "max iteration multiplier"): "max_iterations_lin",
+    ("nonlinear solver", "max iterations newton-raphson"): "max_iterations_NR",
+    ("nonlinear solver", "tolerance force"): "tol_f",
+    ("nonlinear solver", "tolerance displacement"): "tol_u",
+    ("discretization", "polynomial degree"): "poly_degree",
+    ("discretization", "theta"): "theta",
+    ("discretization", "beta"): "beta",
+    ("discretization", "gamma"): "gamma",
+    ("precice configuration", "scenario"): "scenario",
+    ("precice configuration", "precice config-file"): "config_file",
+    ("precice configuration", "participant name"): "participant_name",
+    ("precice configuration", "mesh name"): "mesh_name",
+    ("precice configuration", "read data name"): "read_data_name",
+    ("precice configuration", "write data name"): "write_data_name",
+    ("precice configuration", "flap location"): "flap_location",
+}
+
+_FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(AllParameters)}
+
+
+def _coerce(attr: str, raw: str):
+    if attr == "body_force":
+        vals = [float(v) for v in re.split(r"[,\s]+", raw.strip()) if v]
+        while len(vals) < 3:
+            vals.append(0.0)
+        return tuple(vals[:3])
+    current = getattr(AllParameters, attr, None)
+    ftype = _FIELD_TYPES.get(attr, "str")
+    if "int" in str(ftype) and attr != "max_iterations_lin":
+        return int(float(raw))
+    if "float" in str(ftype):
+        return float(raw)
+    if isinstance(current, bool):
+        return raw.strip().lower() in ("true", "1", "yes")
+    return raw.strip()
+
+
+def parse_prm(path_or_text: str, **overrides) -> AllParameters:
+    """Parse a deal.II ``.prm`` parameter file into :class:`AllParameters`.
+
+    Accepts either a filesystem path or the raw text. Unknown subsections
+    and keys are ignored (lenient, unlike deal.II's strict parser), so the
+    reference's tutorial files all load. ``overrides`` are applied last
+    (e.g. ``dim=3``).
+    """
+    text = path_or_text
+    if "\n" not in path_or_text:
+        try:
+            with open(path_or_text, "r") as fh:
+                text = fh.read()
+        except (OSError, ValueError):
+            pass  # treat as raw text
+
+    params = AllParameters()
+    section = ""
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        low = line.lower()
+        if low.startswith("subsection"):
+            section = line[len("subsection"):].strip().lower()
+        elif low == "end":
+            section = ""
+        elif low.startswith("set "):
+            key, _, value = line[4:].partition("=")
+            attr = _PRM_KEYMAP.get((section, key.strip().lower()))
+            if attr is not None:
+                setattr(params, attr, _coerce(attr, value.strip()))
+    for k, v in overrides.items():
+        if not hasattr(params, k):
+            raise AttributeError(f"Unknown parameter override '{k}'")
+        setattr(params, k, v)
+    return params.finalize()
