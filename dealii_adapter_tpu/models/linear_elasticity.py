@@ -1,0 +1,210 @@
+"""Dynamic linear elasticity with one-step theta time integration.
+
+TPU-native re-design of the reference's `Linear_Elasticity::ElastoDynamics`
+(`source/linear_elasticity/linear_elasticity.cc`): the unknown of each step
+is the velocity V_{n+1}, solved from
+
+    (M + theta^2 dt^2 K) V_{n+1} =  dt theta F_{n+1} + dt (1-theta) F_n
+                                  + (M - theta(1-theta) dt^2 K) V_n
+                                  - dt K D_n                          (rhs at :398-420)
+
+followed by D_{n+1} = D_n + dt theta V_{n+1} + dt (1-theta) V_n (:583-585).
+F is the coupling load: consistent face-traction integration of the nodal
+interface stress field (:457-521) or the raw nodal force vector
+("conservative", :388), plus constant body forces (:357-373).
+
+Everything per step is one jitted pure function over a `LinearState`
+pytree: two constant-element-matrix matvecs (MXU matmuls) for the RHS and a
+matrix-free preconditioned CG (or prefactored dense Cholesky) for the solve.
+The stepping operator is constant, so its element matrix M_e + (theta dt)^2
+K_e is formed once (`linear_elasticity.cc:348-353`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AllParameters
+from ..fem.dofspace import DofSpace
+from ..mesh.generator import StructuredMesh, make_scenario_grid
+from ..ops.element_ops import (
+    ElementMatrices,
+    assemble_dense,
+    body_force_vector,
+    make_face_loading,
+    make_operator,
+)
+from ..solvers.cg import cg_solve, jacobi_preconditioner
+from ..solvers.direct import DenseCholesky
+
+
+class LinearState(NamedTuple):
+    """Time-dependent state (n_nodes, dim) fields. `old_load` is the
+    assembled coupling load F_n of the previous step (the reference's
+    `old_stress` vector after `assemble_rhs`, `linear_elasticity.cc:405-409`)."""
+
+    displacement: jnp.ndarray
+    velocity: jnp.ndarray
+    old_load: jnp.ndarray
+
+
+class StepInfo(NamedTuple):
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    linf_velocity: jnp.ndarray
+
+
+class LinearElastodynamics:
+    """Solver object: builds mesh/space/operators once; exposes a jitted
+    `step(state, interface_data) -> (state, info)`."""
+
+    def __init__(
+        self,
+        params: AllParameters,
+        mesh: Optional[StructuredMesh] = None,
+        tags: Optional[dict] = None,
+        refine: int = 0,
+    ):
+        self.params = params
+        dim = params.dim
+        if mesh is None:
+            mesh, tags = make_scenario_grid(
+                params.scenario,
+                dim,
+                params.poly_degree,
+                flap_location=params.flap_location,
+                refine=refine,
+                solver="linear",
+            )
+        assert tags is not None
+        self.mesh = mesh
+        self.tags = tags
+        self.interface_id = tags["interface"]
+        self.space = DofSpace.create(mesh, n_q_1d=params.poly_degree + 1)
+        self.dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+
+        elem = ElementMatrices(self.space, params.lmbda, params.mu, params.rho)
+        self.elem = elem
+        dt, theta = params.delta_t, params.theta
+        A_e = elem.M_e + (theta * dt) ** 2 * elem.K_e
+
+        self.K = make_operator(self.space, elem.K_e, self.dtype)
+        self.M = make_operator(self.space, elem.M_e, self.dtype)
+        self.A = make_operator(self.space, A_e, self.dtype)
+
+        self.mask = jnp.asarray(
+            self.space.dirichlet_mask(tags["clamped"], tags.get("out_of_plane")),
+            dtype=self.dtype,
+        )
+        # Jacobi diagonal of the BC-masked stepping matrix (1 on constrained)
+        diag = self.mask * self.A.diagonal() + (1.0 - self.mask)
+        self._precond = jacobi_preconditioner(diag)
+
+        self.face_load = make_face_loading(
+            self.space, elem, self.interface_id, self.dtype
+        )
+        bf = body_force_vector(self.space, elem, params.rho, params.body_force)
+        self.body_force_enabled = bool(np.linalg.norm(params.body_force) > 1e-15)
+        self._body_vec = jnp.asarray(bf, dtype=self.dtype)
+
+        if params.type_lin == "Direct":
+            A_dense = assemble_dense(self.space, A_e)
+            flat_mask = np.asarray(self.mask, dtype=np.float64).reshape(-1)
+            A_dense = A_dense * flat_mask[:, None] * flat_mask[None, :]
+            np.fill_diagonal(A_dense, np.diag(A_dense) + (1.0 - flat_mask))
+            self._direct = DenseCholesky(A_dense)
+        else:
+            self._direct = None
+
+        self._max_cg_iter = int(self.space.n_dofs * params.max_iterations_lin)
+        self._step = jax.jit(self._make_step())
+
+    # ------------------------------------------------------------------
+
+    def initial_state(self) -> LinearState:
+        z = jnp.zeros((self.space.n_nodes, self.space.dim), dtype=self.dtype)
+        return LinearState(displacement=z, velocity=z, old_load=z)
+
+    def masked_operator(self, op):
+        """BC-eliminated SPD action: identity on constrained DoFs."""
+        mask = self.mask
+
+        def apply(v):
+            return mask * op(mask * v) + (1.0 - mask) * v
+
+        return apply
+
+    def assemble_load(self, interface_data: jnp.ndarray) -> jnp.ndarray:
+        """F_{n+1}: coupling load + body force (`linear_elasticity.cc:384-395`)."""
+        if self.params.data_consistent:
+            F = self.face_load(interface_data)
+        else:
+            F = interface_data
+        if self.body_force_enabled:
+            F = F + self._body_vec
+        return F
+
+    def _make_step(self):
+        params = self.params
+        dt, theta = params.delta_t, params.theta
+        K, M = self.K, self.M
+        A_bc = self.masked_operator(self.A)
+        mask = self.mask
+        precond = self._precond
+        use_cg = params.type_lin == "CG"
+        direct = self._direct
+        max_iter = self._max_cg_iter
+
+        def step(state: LinearState, interface_data: jnp.ndarray):
+            F_new = self.assemble_load(interface_data)
+            rhs = (
+                dt * theta * F_new
+                + dt * (1.0 - theta) * state.old_load
+                + M(state.velocity)
+                - (theta * (1.0 - theta) * dt * dt) * K(state.velocity)
+                - dt * K(state.displacement)
+            )
+            rhs = mask * rhs  # zero-valued Dirichlet rows
+
+            if use_cg:
+                res = cg_solve(
+                    A_bc,
+                    rhs,
+                    mask * state.velocity,
+                    tol=1e-10,  # hardcoded in the reference (:542-543)
+                    max_iter=max_iter,
+                    preconditioner=precond,
+                )
+                v_new, iters, resn = res.x, res.iterations, res.residual_norm
+            else:
+                v_new = direct.solve(rhs)
+                iters = jnp.int32(1)
+                resn = jnp.asarray(0.0, dtype=rhs.dtype)
+
+            d_new = (
+                state.displacement
+                + dt * theta * v_new
+                + dt * (1.0 - theta) * state.velocity
+            )
+            info = StepInfo(
+                iterations=iters,
+                residual=resn,
+                linf_velocity=jnp.max(jnp.abs(v_new)),
+            )
+            return LinearState(d_new, v_new, F_new), info
+
+        return step
+
+    def step(
+        self, state: LinearState, interface_data: jnp.ndarray
+    ) -> Tuple[LinearState, StepInfo]:
+        """One theta-step. `interface_data` is the (n_nodes, dim) nodal
+        coupling field (stress for consistent, forces for conservative
+        reads), zero off the interface."""
+        return self._step(state, interface_data)
