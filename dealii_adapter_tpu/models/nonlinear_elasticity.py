@@ -1,0 +1,419 @@
+"""Finite-strain compressible Neo-Hookean dynamics: Newmark-beta + Newton.
+
+TPU-native re-design of `Nonlinear_Elasticity::Solid`
+(`source/nonlinear_elasticity/nonlinear_elasticity.cc`). Per coupled time
+step, a full Newton-Raphson iteration solves
+
+    R(delta) = F_ext(u) + F_body - F_int(u) - M a(delta) = 0,   u = u_n + delta
+
+with Newmark acceleration a = alpha_1 delta - alpha_2 v_n - alpha_3 a_n
+(`nonlinear_elasticity.cc:592-599`) and the dual relative/absolute
+convergence rule of `:459-463`. The consistent tangent action K v =
+-dR/ddelta (material + geometric + mass, `:1000-1035`) is obtained
+exactly by `jax.linearize` of the residual — no element tangent matrices
+are ever formed. Each Newton step runs a matrix-free Jacobi-preconditioned
+CG (or a dense direct solve for small validation problems).
+
+The residual itself is three dense batched contractions over (cells,
+q-points) — displacement-gradient evaluation, pointwise Kirchhoff stress,
+and the test-function contraction — i.e. MXU matmuls plus fused VPU
+elementwise math; the WorkStream/TBB scatter machinery of the reference
+(`:1078-1084`) collapses into the transpose-gather reduction.
+
+External interface tractions are pulled back to the reference configuration
+with Nanson's formula n* = J F^{-T} N, ref stress = stress * ||n*||
+(`:825-837`). Like the reference (which omits the Neumann term from the
+assembled tangent), the pull-back factor is wrapped in stop_gradient so the
+follower-load stiffness is excluded from Newton's tangent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AllParameters
+from ..fem.dofspace import DofSpace, build_transpose_gather_plan
+from ..mesh.generator import StructuredMesh, make_scenario_grid
+from ..ops.element_ops import (
+    ElementMatrices,
+    apply_plan,
+    body_force_vector,
+    make_operator,
+)
+from ..solvers.cg import cg_solve, jacobi_preconditioner
+from .material import NeoHookean, det_and_inv, kinematics
+
+
+class NonlinearState(NamedTuple):
+    """Converged fields at t_n. The reference's six checkpoint vectors
+    (`nonlinear_elasticity.cc:370-375`) reduce to three: after
+    `update_old_variables` the *_old copies equal the current fields at
+    every point where a coupling checkpoint can be taken."""
+
+    displacement: jnp.ndarray  # total displacement u_n
+    velocity: jnp.ndarray
+    acceleration: jnp.ndarray
+
+
+class NewtonInfo(NamedTuple):
+    converged: jnp.ndarray  # bool
+    iterations: jnp.ndarray  # Newton iterations taken
+    residual_abs: jnp.ndarray
+    residual_rel: jnp.ndarray
+    update_abs: jnp.ndarray
+    update_rel: jnp.ndarray
+    cg_iterations: jnp.ndarray  # total CG iterations across Newton steps
+    min_det_F: jnp.ndarray  # > 0 contract (`nonlinear_elasticity.cc:935`)
+
+
+class NonlinearElasticity:
+    """Builds mesh/space/constants once; exposes jitted
+    `step(state, interface_stress) -> (state, NewtonInfo)` and the pure
+    residual for tests."""
+
+    def __init__(
+        self,
+        params: AllParameters,
+        mesh: Optional[StructuredMesh] = None,
+        tags: Optional[dict] = None,
+        refine: int = 0,
+        quasi_static: bool = False,
+    ):
+        if not params.data_consistent:
+            raise ValueError(
+                "The neo-Hookean solid doesn't support 'Force' data reading. "
+                "Please switch to 'Stress' data or use the linear model."
+            )  # mirrors `nonlinear_elasticity.cc:83-88`
+        self.params = params
+        self.quasi_static = quasi_static
+        dim = params.dim
+        if mesh is None:
+            mesh, tags = make_scenario_grid(
+                params.scenario,
+                dim,
+                params.poly_degree,
+                flap_location=params.flap_location,
+                refine=refine,
+                solver="neo-Hookean",
+            )
+        assert tags is not None
+        self.mesh = mesh
+        self.tags = tags
+        self.interface_id = tags["interface"]
+        # quadrature degree+2 per the reference (`nonlinear_elasticity.cc:74-75`)
+        self.space = DofSpace.create(mesh, n_q_1d=params.poly_degree + 2)
+        self.dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
+        self.material = NeoHookean(params.mu, params.nu, params.rho)
+
+        # Newmark coefficients (`nonlinear_elasticity.h:242-250`)
+        dt, beta, gamma = params.delta_t, params.beta, params.gamma
+        self.alpha_1 = 1.0 / (beta * dt * dt)
+        self.alpha_2 = 1.0 / (beta * dt)
+        self.alpha_3 = (1.0 - 2.0 * beta) / (2.0 * beta)
+        self.alpha_4 = gamma / (beta * dt)
+        self.alpha_5 = 1.0 - gamma / beta
+        self.alpha_6 = (1.0 - gamma / (2.0 * beta)) * dt
+
+        self._setup_device_constants()
+        self._step = jax.jit(self._make_step())
+
+    # ------------------------------------------------------------------
+
+    def _setup_device_constants(self):
+        params = self.params
+        space, tab = self.space, self.space.tab
+        dim = space.dim
+        h = np.asarray(self.mesh.cell_h)
+        detJ = float(np.prod(h))
+        dt = self.dtype
+
+        self.cells = jnp.asarray(space.cells)
+        self.plan = jnp.asarray(space.plan)
+        # physical reference gradients and quadrature weights
+        self.G = jnp.asarray(tab.dN / h[None, None, :], dtype=dt)  # (q,npc,dim)
+        self.N = jnp.asarray(tab.N, dtype=dt)  # (q,npc)
+        self.w = jnp.asarray(tab.q_weights * detJ, dtype=dt)  # (q,)
+
+        # consistent mass (reference-configuration, constant) for the
+        # inertia term; rho=0 or quasi_static disables it
+        elem = ElementMatrices(space, 0.0, 0.0, params.rho)
+        self.M = make_operator(space, elem.M_e, dt)
+
+        bf = body_force_vector(space, elem, params.rho, params.body_force)
+        self.body_force_enabled = bool(np.linalg.norm(params.body_force) > 1e-15)
+        self._body_vec = jnp.asarray(bf, dtype=dt)
+
+        # interface faces for the Neumann pull-back
+        faces, fnodes = space.interface_faces(self.interface_id)
+        lf = faces[:, 1]
+        axes = lf // 2
+        self.face_nodes = jnp.asarray(fnodes)  # (n_if, npf)
+        self.face_cells = jnp.asarray(faces[:, 0].astype(np.int64))
+        face_G = tab.face_dN / h[None, None, None, :]  # (2dim, nqf, npc, dim)
+        self.face_G = jnp.asarray(face_G[lf], dtype=dt)  # (n_if, nqf, npc, dim)
+        self.face_normal = jnp.asarray(tab.face_normal_ref[lf], dtype=dt)
+        # face basis restricted to face nodes (same tensor basis for every face)
+        Nf = tab.face_N[0][:, tab.face_nodes[0]]
+        self.face_Nf = jnp.asarray(Nf, dtype=dt)  # (nqf, npf)
+        areaJ = detJ / h[axes]
+        self.face_wJ = jnp.asarray(
+            tab.face_q_weights[None, :] * areaJ[:, None], dtype=dt
+        )  # (n_if, nqf)
+        fplan, _ = build_transpose_gather_plan(fnodes, space.n_nodes)
+        self.face_plan = jnp.asarray(fplan)
+
+        # Dirichlet mask (`nonlinear_elasticity.cc:1094-1150`)
+        self.mask = jnp.asarray(
+            space.dirichlet_mask(self.tags["clamped"], self.tags.get("out_of_plane")),
+            dtype=dt,
+        )
+
+        # Jacobi preconditioner from the small-strain linearization at F = I:
+        # c0 = lambda_eff IxI + 2 mu S with lambda_eff = kappa - 2 mu / dim,
+        # plus the Newmark mass term alpha_1 M.
+        lam_eff = self.material.kappa - 2.0 * params.mu / dim
+        elemK = ElementMatrices(space, lam_eff, params.mu, params.rho)
+        a1 = 0.0 if self.quasi_static else self.alpha_1
+        Ke_precond = elemK.K_e + a1 * elem.M_e
+        diag_op = make_operator(space, Ke_precond, dt)
+        diag = self.mask * diag_op.diagonal() + (1.0 - self.mask)
+        self._precond = jacobi_preconditioner(diag)
+
+        self._max_cg_iter = int(space.n_dofs * params.max_iterations_lin)
+
+    # ------------------------------------------------------------------
+    # pure physics functions (also used directly by tests)
+    # ------------------------------------------------------------------
+
+    def internal_force(self, u: jnp.ndarray) -> jnp.ndarray:
+        """F_int[i] = int_Omega0 sym(grad_x N_i) : tau dV  — the geometric
+        stress residual term of `nonlinear_elasticity.cc:980-996`.
+        Also returns nothing else; min-J monitoring uses `min_det_F`."""
+        r, _ = self._internal_force_and_J(u)
+        return r
+
+    def _internal_force_and_J(self, u: jnp.ndarray):
+        n_cells, npc = self.cells.shape
+        dim = u.shape[-1]
+        ucell = u[self.cells]  # (c, npc, dim)
+        grad_u = jnp.einsum("cnd,qne->cqde", ucell, self.G)
+        F, J, F_inv, b_bar = kinematics(grad_u)
+        tau = self.material.tau(J, b_bar)  # (c,q,dim,dim)
+        # spatial gradient of scalar shape n: G F^{-1}; residual per (n,d):
+        # sum_q w tau[d,:] . gradx_N[n,:]
+        P_like = jnp.einsum("...de,...ke->...dk", tau, F_inv)  # tau F^{-T}
+        rcell = jnp.einsum("q,cqdk,qnk->cnd", self.w, P_like, self.G)
+        r = apply_plan(rcell.reshape(n_cells * npc, dim), self.plan)
+        return r, jnp.min(J)
+
+    def external_force(self, u: jnp.ndarray, stress: jnp.ndarray) -> jnp.ndarray:
+        """Nanson pull-back surface loading
+        (`nonlinear_elasticity.cc:791-859`): the interface traction field
+        (spatial) scaled by ||J F^{-T} N|| and integrated in the reference
+        configuration. F is stop_gradient-ed: the reference's tangent omits
+        the Neumann linearization."""
+        dim = u.shape[-1]
+        ucell = u[self.cells[self.face_cells]]  # (n_if, npc, dim)
+        grad_u = jnp.einsum("fnd,fqne->fqde", ucell, self.face_G)
+        grad_u = jax.lax.stop_gradient(grad_u)
+        F = grad_u + jnp.eye(dim, dtype=grad_u.dtype)
+        Jf, F_inv = det_and_inv(F)
+        n_star = Jf[..., None] * jnp.einsum(
+            "fqkd,fk->fqd", F_inv, self.face_normal
+        )  # J F^{-T} N
+        scale = jnp.sqrt(jnp.sum(n_star**2, axis=-1))  # (n_if, nqf)
+
+        t_nodes = stress[self.face_nodes]  # (n_if, npf, dim)
+        t_q = jnp.einsum("qj,fjd->fqd", self.face_Nf, t_nodes)
+        t_ref = t_q * scale[..., None]
+        rf = jnp.einsum("fq,qj,fqd->fjd", self.face_wJ, self.face_Nf, t_ref)
+        n_if, npf = self.face_nodes.shape
+        return apply_plan(rf.reshape(n_if * npf, dim), self.face_plan)
+
+    def residual(
+        self,
+        delta: jnp.ndarray,
+        state: NonlinearState,
+        stress: jnp.ndarray,
+    ):
+        """The assembled system_rhs of the reference (masked): external +
+        body - internal - inertia. Returns (rhs, min_J)."""
+        u = state.displacement + delta
+        r_int, min_J = self._internal_force_and_J(u)
+        rhs = self.external_force(u, stress) - r_int
+        if self.body_force_enabled:
+            rhs = rhs + self._body_vec
+        if not self.quasi_static:
+            acc = (
+                self.alpha_1 * delta
+                - self.alpha_2 * state.velocity
+                - self.alpha_3 * state.acceleration
+            )
+            rhs = rhs - self.M(acc)
+        return self.mask * rhs, min_J
+
+    # ------------------------------------------------------------------
+
+    def initial_state(self) -> NonlinearState:
+        z = jnp.zeros((self.space.n_nodes, self.space.dim), dtype=self.dtype)
+        return NonlinearState(z, z, z)
+
+    def _make_step(self):
+        params = self.params
+        mask = self.mask
+        tol_u, tol_f = params.tol_u, params.tol_f
+        max_nr = int(params.max_iterations_NR)
+        use_cg = params.type_lin == "CG"
+        precond = self._precond
+        max_cg = self._max_cg_iter
+        n_nodes, dim = self.space.n_nodes, self.space.dim
+
+        def norm(v):
+            return jnp.sqrt(jnp.vdot(v.ravel(), v.ravel()))
+
+        def newton_solve(state, stress):
+            def rhs_fn(delta):
+                r, _ = self.residual(delta, state, stress)
+                return r
+
+            zero = jnp.zeros((n_nodes, dim), dtype=self.dtype)
+
+            class Carry(NamedTuple):
+                delta: jnp.ndarray
+                it: jnp.ndarray
+                converged: jnp.ndarray
+                res0: jnp.ndarray
+                upd0: jnp.ndarray
+                res_abs: jnp.ndarray
+                res_rel: jnp.ndarray
+                upd_abs: jnp.ndarray
+                upd_rel: jnp.ndarray
+                cg_total: jnp.ndarray
+                min_J: jnp.ndarray
+
+            one = jnp.asarray(1.0, self.dtype)
+
+            def cond(c: Carry):
+                return jnp.logical_and(~c.converged, c.it < max_nr)
+
+            def body(c: Carry):
+                rhs, min_J = self.residual(c.delta, state, stress)
+                res_abs = norm(rhs)
+                res0 = jnp.where(c.it == 0, jnp.maximum(res_abs, 1e-300), c.res0)
+                res_rel = res_abs / res0
+                # dual rel/abs rule of `nonlinear_elasticity.cc:459-463`
+                conv = jnp.logical_and(
+                    c.it > 0,
+                    jnp.logical_and(
+                        jnp.logical_or(c.upd_rel <= tol_u, c.upd_abs <= 1e-15),
+                        jnp.logical_or(res_rel <= tol_f, res_abs <= 5e-9),
+                    ),
+                )
+
+                def do_solve(_):
+                    # consistent tangent action via linearization at delta
+                    _, jvp = jax.linearize(rhs_fn, c.delta)
+
+                    def K(v):
+                        return mask * (-jvp(mask * v)) + (1.0 - mask) * v
+
+                    if use_cg:
+                        tol = params.tol_lin * res_abs  # `:1171-1172`
+                        r = cg_solve(K, rhs, zero, tol=tol, max_iter=max_cg,
+                                     preconditioner=precond)
+                        return r.x, r.iterations
+                    # dense direct: materialize the tangent (small cases only)
+                    basis = jnp.eye(n_nodes * dim, dtype=self.dtype)
+                    cols = jax.vmap(
+                        lambda e: K(e.reshape(n_nodes, dim)).reshape(-1),
+                        out_axes=1,
+                    )(basis)
+                    du = jnp.linalg.solve(cols, rhs.reshape(-1))
+                    return du.reshape(n_nodes, dim), jnp.int32(1)
+
+                def no_solve(_):
+                    return zero, jnp.int32(0)
+
+                du, cg_its = jax.lax.cond(conv, no_solve, do_solve, None)
+                upd_abs_new = norm(mask * du)
+                upd0 = jnp.where(
+                    jnp.logical_and(c.it == 0, ~conv),
+                    jnp.maximum(upd_abs_new, 1e-300),
+                    c.upd0,
+                )
+                upd_abs = jnp.where(conv, c.upd_abs, upd_abs_new)
+                upd_rel = jnp.where(conv, c.upd_rel, upd_abs_new / upd0)
+                return Carry(
+                    delta=c.delta + du,
+                    it=jnp.where(conv, c.it, c.it + 1),
+                    converged=conv,
+                    res0=res0,
+                    upd0=upd0,
+                    res_abs=res_abs,
+                    res_rel=res_rel,
+                    upd_abs=upd_abs,
+                    upd_rel=upd_rel,
+                    cg_total=c.cg_total + cg_its,
+                    min_J=jnp.minimum(c.min_J, min_J),
+                )
+
+            init = Carry(
+                delta=zero,
+                it=jnp.int32(0),
+                converged=jnp.asarray(False),
+                res0=one,
+                upd0=one,
+                res_abs=one,
+                res_rel=one,
+                upd_abs=one,
+                upd_rel=one,
+                cg_total=jnp.int32(0),
+                min_J=jnp.asarray(jnp.inf, self.dtype),
+            )
+            return jax.lax.while_loop(cond, body, init)
+
+        def step(state: NonlinearState, stress: jnp.ndarray):
+            c = newton_solve(state, stress)
+            delta = c.delta
+            # Newmark updates (`nonlinear_elasticity.cc:592-610`)
+            acc_new = (
+                self.alpha_1 * delta
+                - self.alpha_2 * state.velocity
+                - self.alpha_3 * state.acceleration
+            )
+            vel_new = (
+                self.alpha_4 * delta
+                + self.alpha_5 * state.velocity
+                + self.alpha_6 * state.acceleration
+            )
+            new_state = NonlinearState(
+                displacement=state.displacement + delta,
+                velocity=vel_new,
+                acceleration=acc_new,
+            )
+            info = NewtonInfo(
+                converged=c.converged,
+                iterations=c.it,
+                residual_abs=c.res_abs,
+                residual_rel=c.res_rel,
+                update_abs=c.upd_abs,
+                update_rel=c.upd_rel,
+                cg_iterations=c.cg_total,
+                min_det_F=c.min_J,
+            )
+            return new_state, info
+
+        return step
+
+    def step(
+        self, state: NonlinearState, interface_stress: jnp.ndarray
+    ) -> Tuple[NonlinearState, NewtonInfo]:
+        """One Newmark time step: full Newton solve + velocity/acceleration
+        updates, fully jitted. Raises on non-convergence is the caller's
+        responsibility (check `info.converged`, mirroring the AssertThrow at
+        `nonlinear_elasticity.cc:497-498`)."""
+        return self._step(state, interface_stress)
