@@ -36,6 +36,7 @@ from ..mesh.generator import StructuredMesh, make_scenario_grid
 from ..ops.element_ops import (
     ElementMatrices,
     assemble_dense,
+    assemble_diagonal,
     body_force_vector,
     make_face_loading,
     make_operator,
@@ -70,6 +71,7 @@ class LinearElastodynamics:
         mesh: Optional[StructuredMesh] = None,
         tags: Optional[dict] = None,
         refine: int = 0,
+        device_mesh=None,
     ):
         self.params = params
         dim = params.dim
@@ -94,16 +96,42 @@ class LinearElastodynamics:
         dt, theta = params.delta_t, params.theta
         A_e = elem.M_e + (theta * dt) ** 2 * elem.K_e
 
-        self.K = make_operator(self.space, elem.K_e, self.dtype)
-        self.M = make_operator(self.space, elem.M_e, self.dtype)
-        self.A = make_operator(self.space, A_e, self.dtype)
+        if device_mesh is None and params.n_devices > 1:
+            from ..parallel.partition import make_device_mesh as _mkmesh
+
+            device_mesh = _mkmesh(params.n_devices)
+        self.device_mesh = device_mesh
+        if device_mesh is not None:
+            from ..parallel.partition import CellPartition
+            from ..parallel.sharded_ops import ShardedOperator
+
+            part = CellPartition.create(
+                self.space.cells, self.space.n_nodes, device_mesh.devices.size
+            )
+            self._part = part
+
+            def mkop(E):
+                return ShardedOperator(
+                    part=part,
+                    mesh=device_mesh,
+                    E=jnp.asarray(E, dtype=self.dtype),
+                    dim=self.space.dim,
+                )
+
+            self.K, self.M, self.A = mkop(elem.K_e), mkop(elem.M_e), mkop(A_e)
+        else:
+            self._part = None
+            self.K = make_operator(self.space, elem.K_e, self.dtype)
+            self.M = make_operator(self.space, elem.M_e, self.dtype)
+            self.A = make_operator(self.space, A_e, self.dtype)
 
         self.mask = jnp.asarray(
             self.space.dirichlet_mask(tags["clamped"], tags.get("out_of_plane")),
             dtype=self.dtype,
         )
         # Jacobi diagonal of the BC-masked stepping matrix (1 on constrained)
-        diag = self.mask * self.A.diagonal() + (1.0 - self.mask)
+        diag_np = assemble_diagonal(self.space, A_e)
+        diag = self.mask * jnp.asarray(diag_np, dtype=self.dtype) + (1.0 - self.mask)
         self._precond = jacobi_preconditioner(diag)
 
         self.face_load = make_face_loading(

@@ -41,11 +41,27 @@ from ..mesh.generator import StructuredMesh, make_scenario_grid
 from ..ops.element_ops import (
     ElementMatrices,
     apply_plan,
+    assemble_diagonal,
     body_force_vector,
     make_operator,
 )
 from ..solvers.cg import cg_solve, jacobi_preconditioner
 from .material import NeoHookean, det_and_inv, kinematics
+
+
+def internal_force_cellwise(ucell, G, w, material):
+    """Per-cell internal-force kernel: (c, npc, dim) nodal displacements ->
+    ((c, npc, dim) per-cell residual contributions, min det F).
+
+    The QP loop of `nonlinear_elasticity.cc:873-996` as three dense batched
+    contractions (MXU) + pointwise Kirchhoff stress (VPU). Shared by the
+    single-device path and the shard_map'd SPMD path."""
+    grad_u = jnp.einsum("cnd,qne->cqde", ucell, G)
+    F, J, F_inv, b_bar = kinematics(grad_u)
+    tau = material.tau(J, b_bar)  # (c,q,dim,dim)
+    P_like = jnp.einsum("...de,...ke->...dk", tau, F_inv)  # tau F^{-T}
+    rcell = jnp.einsum("q,cqdk,qnk->cnd", w, P_like, G)
+    return rcell, jnp.min(J)
 
 
 class NonlinearState(NamedTuple):
@@ -82,6 +98,7 @@ class NonlinearElasticity:
         tags: Optional[dict] = None,
         refine: int = 0,
         quasi_static: bool = False,
+        device_mesh=None,
     ):
         if not params.data_consistent:
             raise ValueError(
@@ -118,6 +135,11 @@ class NonlinearElasticity:
         self.alpha_5 = 1.0 - gamma / beta
         self.alpha_6 = (1.0 - gamma / (2.0 * beta)) * dt
 
+        if device_mesh is None and params.n_devices > 1:
+            from ..parallel.partition import make_device_mesh
+
+            device_mesh = make_device_mesh(params.n_devices)
+        self.device_mesh = device_mesh
         self._setup_device_constants()
         self._step = jax.jit(self._make_step())
 
@@ -131,8 +153,22 @@ class NonlinearElasticity:
         detJ = float(np.prod(h))
         dt = self.dtype
 
-        self.cells = jnp.asarray(space.cells)
-        self.plan = jnp.asarray(space.plan)
+        sharded = self.device_mesh is not None
+        if sharded:
+            from ..parallel.partition import CellPartition
+            from ..parallel.sharded_ops import (
+                ShardedOperator,
+                sharded_cellwise_reduction,
+            )
+
+            n_dev = self.device_mesh.devices.size
+            self._part = CellPartition.create(space.cells, space.n_nodes, n_dev)
+            self.cells = jnp.asarray(self._part.cells)  # (n_shards, cpd, npc)
+            self.plan = None  # per-shard windowed plans live in _part
+        else:
+            self._part = None
+            self.cells = jnp.asarray(space.cells)
+            self.plan = jnp.asarray(space.plan)
         # physical reference gradients and quadrature weights
         self.G = jnp.asarray(tab.dN / h[None, None, :], dtype=dt)  # (q,npc,dim)
         self.N = jnp.asarray(tab.N, dtype=dt)  # (q,npc)
@@ -141,7 +177,27 @@ class NonlinearElasticity:
         # consistent mass (reference-configuration, constant) for the
         # inertia term; rho=0 or quasi_static disables it
         elem = ElementMatrices(space, 0.0, 0.0, params.rho)
-        self.M = make_operator(space, elem.M_e, dt)
+        if sharded:
+            self.M = ShardedOperator(
+                part=self._part,
+                mesh=self.device_mesh,
+                E=jnp.asarray(elem.M_e, dtype=dt),
+                dim=dim,
+            )
+
+            def int_kernel(u, cells):
+                cpd, npc = cells.shape
+                rcell, mn = internal_force_cellwise(
+                    u[cells], self.G, self.w, self.material
+                )
+                return rcell.reshape(cpd * npc, dim), mn
+
+            self._sharded_internal = sharded_cellwise_reduction(
+                self._part, self.device_mesh, int_kernel, has_min=True
+            )
+        else:
+            self.M = make_operator(space, elem.M_e, dt)
+            self._sharded_internal = None
 
         bf = body_force_vector(space, elem, params.rho, params.body_force)
         self.body_force_enabled = bool(np.linalg.norm(params.body_force) > 1e-15)
@@ -152,7 +208,10 @@ class NonlinearElasticity:
         lf = faces[:, 1]
         axes = lf // 2
         self.face_nodes = jnp.asarray(fnodes)  # (n_if, npf)
-        self.face_cells = jnp.asarray(faces[:, 0].astype(np.int64))
+        # full volume connectivity of each interface-adjacent cell (small:
+        # surface-only), used for the deformation gradient in the Nanson
+        # pull-back regardless of how the volume cells are sharded
+        self.face_cell_conn = jnp.asarray(space.cells[faces[:, 0]])
         face_G = tab.face_dN / h[None, None, None, :]  # (2dim, nqf, npc, dim)
         self.face_G = jnp.asarray(face_G[lf], dtype=dt)  # (n_if, nqf, npc, dim)
         self.face_normal = jnp.asarray(tab.face_normal_ref[lf], dtype=dt)
@@ -179,8 +238,8 @@ class NonlinearElasticity:
         elemK = ElementMatrices(space, lam_eff, params.mu, params.rho)
         a1 = 0.0 if self.quasi_static else self.alpha_1
         Ke_precond = elemK.K_e + a1 * elem.M_e
-        diag_op = make_operator(space, Ke_precond, dt)
-        diag = self.mask * diag_op.diagonal() + (1.0 - self.mask)
+        diag_np = assemble_diagonal(space, Ke_precond)
+        diag = self.mask * jnp.asarray(diag_np, dtype=dt) + (1.0 - self.mask)
         self._precond = jacobi_preconditioner(diag)
 
         self._max_cg_iter = int(space.n_dofs * params.max_iterations_lin)
@@ -197,18 +256,15 @@ class NonlinearElasticity:
         return r
 
     def _internal_force_and_J(self, u: jnp.ndarray):
+        if self._sharded_internal is not None:
+            return self._sharded_internal(u)
         n_cells, npc = self.cells.shape
         dim = u.shape[-1]
-        ucell = u[self.cells]  # (c, npc, dim)
-        grad_u = jnp.einsum("cnd,qne->cqde", ucell, self.G)
-        F, J, F_inv, b_bar = kinematics(grad_u)
-        tau = self.material.tau(J, b_bar)  # (c,q,dim,dim)
-        # spatial gradient of scalar shape n: G F^{-1}; residual per (n,d):
-        # sum_q w tau[d,:] . gradx_N[n,:]
-        P_like = jnp.einsum("...de,...ke->...dk", tau, F_inv)  # tau F^{-T}
-        rcell = jnp.einsum("q,cqdk,qnk->cnd", self.w, P_like, self.G)
+        rcell, min_J = internal_force_cellwise(
+            u[self.cells], self.G, self.w, self.material
+        )
         r = apply_plan(rcell.reshape(n_cells * npc, dim), self.plan)
-        return r, jnp.min(J)
+        return r, min_J
 
     def external_force(self, u: jnp.ndarray, stress: jnp.ndarray) -> jnp.ndarray:
         """Nanson pull-back surface loading
@@ -217,7 +273,7 @@ class NonlinearElasticity:
         configuration. F is stop_gradient-ed: the reference's tangent omits
         the Neumann linearization."""
         dim = u.shape[-1]
-        ucell = u[self.cells[self.face_cells]]  # (n_if, npc, dim)
+        ucell = u[self.face_cell_conn]  # (n_if, npc, dim)
         grad_u = jnp.einsum("fnd,fqne->fqde", ucell, self.face_G)
         grad_u = jax.lax.stop_gradient(grad_u)
         F = grad_u + jnp.eye(dim, dtype=grad_u.dtype)

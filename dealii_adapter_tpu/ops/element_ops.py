@@ -144,6 +144,18 @@ def make_operator(space: DofSpace, E: np.ndarray, dtype=jnp.float64) -> Assemble
     )
 
 
+def assemble_diagonal(space: DofSpace, E: np.ndarray) -> np.ndarray:
+    """Host-side (n_nodes, dim) diagonal of the assembled global matrix.
+    Setup-time only (Jacobi/Chebyshev preconditioners); avoids building
+    device gather plans just to extract a diagonal."""
+    dim = space.dim
+    npc = space.cells.shape[1]
+    d = np.diag(E).reshape(npc, dim)
+    out = np.zeros((space.n_nodes, dim))
+    np.add.at(out, space.cells, d)
+    return out
+
+
 def assemble_dense(space: DofSpace, E: np.ndarray) -> np.ndarray:
     """Host-side dense assembly of a constant element matrix — the global
     (n_dofs, n_dofs) matrix. Used by the Direct solver (the reference's
