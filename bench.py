@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line.
+
+Metric (BASELINE.md north star): MDoF * Newmark-steps / second per chip on
+the 3D nonlinear (finite-strain Neo-Hookean) perpendicular-flap at ~1M DoF,
+Newton-Krylov with matrix-free Jacobi-preconditioned CG at the reference's
+tolerances (tol_u=1e-6, tol_f=1e-9 relative; float64).
+
+`vs_baseline` is throughput relative to the CPU proxy recorded in
+`bench_baseline.json` (the same jitted step measured on the bench host's
+CPU backend — the stand-in for the reference's 16-core CPU run, since the
+reference publishes no numbers and deal.II is not available in this image;
+see BASELINE.md). Regenerate with BENCH_MAKE_CPU_BASELINE=1 python bench.py.
+
+Env knobs: BENCH_SCALE (mesh multiplier, default 9 -> ~1.02M DoF),
+BENCH_STEPS (timed steps, default 3), BENCH_DTYPE, BENCH_DEGREE.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def build_model(scale, dtype, degree, device_mesh=None):
+    from dealii_adapter_tpu.config import AllParameters
+    from dealii_adapter_tpu.mesh.generator import make_scenario_grid
+    from dealii_adapter_tpu.models.nonlinear_elasticity import NonlinearElasticity
+
+    params = AllParameters(
+        model="neo-Hookean",
+        type_lin="CG",
+        scenario="PF",
+        dim=3,
+        poly_degree=degree,
+        delta_t=0.01,
+        mu=0.5e6,
+        nu=0.4,
+        rho=1000.0,
+        tol_lin=1e-6,
+        tol_u=1e-6,
+        tol_f=1e-9,
+        max_iterations_NR=10,
+        max_iterations_lin=1.0,
+        dtype=dtype,
+    )
+    mesh, tags = make_scenario_grid(
+        "PF", 3, degree, scale=scale, solver="neo-Hookean"
+    )
+    return NonlinearElasticity(params, mesh=mesh, tags=tags, device_mesh=device_mesh)
+
+
+def run_steps(model, n_steps, magnitude=1000.0):
+    """Returns (wall seconds for n_steps, diagnostics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    stress_np = np.zeros((model.space.n_nodes, 3))
+    iface = model.space.boundary_nodes[model.interface_id]
+    stress_np[iface, 0] = magnitude
+    stress = jnp.asarray(stress_np, dtype=model.dtype)
+
+    state = model.initial_state()
+    # warmup: compile + first step (excluded from timing)
+    state, info = model.step(state, stress)
+    jax.block_until_ready(state)
+    diags = []
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, info = model.step(state, stress)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    diags.append(
+        dict(
+            newton_its=int(info.iterations),
+            cg_its=int(info.cg_iterations),
+            converged=bool(info.converged),
+            min_det_F=float(info.min_det_F),
+            max_u=float(jnp.max(jnp.abs(state.displacement))),
+        )
+    )
+    return elapsed, diags
+
+
+def main():
+    import dealii_adapter_tpu  # noqa: F401  (x64 config)
+    import jax
+
+    scale = int(os.environ.get("BENCH_SCALE", "9"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "3"))
+    dtype = os.environ.get("BENCH_DTYPE", "float64")
+    degree = int(os.environ.get("BENCH_DEGREE", "2"))
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+    if os.environ.get("BENCH_MAKE_CPU_BASELINE"):
+        jax.config.update("jax_platforms", "cpu")
+        model = build_model(scale, dtype, degree)
+        mdof = model.space.n_dofs / 1e6
+        elapsed, diags = run_steps(model, max(1, n_steps))
+        val = mdof * max(1, n_steps) / elapsed
+        rec = dict(
+            cpu_mdof_steps_per_s=val,
+            n_dofs=model.space.n_dofs,
+            scale=scale,
+            dtype=dtype,
+            degree=degree,
+            steps=max(1, n_steps),
+            seconds=elapsed,
+            diags=diags,
+            note="our jitted step on the bench host CPU backend (XLA, all cores)"
+            " — proxy for the reference's 16-core CPU run",
+        )
+        with open(baseline_path, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(json.dumps(rec), file=sys.stderr)
+        return
+
+    model = build_model(scale, dtype, degree)
+    mdof = model.space.n_dofs / 1e6
+    print(
+        f"bench: {model.space.n_dofs} DoF, platform={jax.devices()[0].platform}, "
+        f"dtype={dtype}, degree={degree}, steps={n_steps}",
+        file=sys.stderr,
+    )
+    elapsed, diags = run_steps(model, n_steps)
+    value = mdof * n_steps / elapsed
+    print(f"diags: {diags}", file=sys.stderr)
+
+    vs = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            base = json.load(fh)
+        if base.get("cpu_mdof_steps_per_s"):
+            vs = value / base["cpu_mdof_steps_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "nonlinear_flap_3d_mdof_newmark_steps_per_s",
+                "value": round(value, 4),
+                "unit": "MDoF*steps/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

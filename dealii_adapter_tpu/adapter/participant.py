@@ -1,0 +1,262 @@
+"""The coupling-participant API surface and its implementations.
+
+The reference consumes exactly this slice of the preCICE v3 API
+(`include/adapter/adapter.h`: constructor :217-225, `getMeshDimensions`
+:235-240, `setMeshVertices` :324-326, `requiresInitialData` :329,
+`initialize` :341, `readData` :354-358, `writeData` :332-337/377-380,
+`advance` :384, `isCouplingOngoing`/`getMaxTimeStepSize`/
+`isTimeWindowComplete` and `requiresWriting/ReadingCheckpoint` :447-489 and
+the two solver `run()` loops; `finalize` at `linear_elasticity.cc:715`).
+
+`FakeParticipant` is an in-process, scriptable implementation of that
+surface: a configurable coupling scheme (explicit or implicit with a fixed
+iteration count per window), a time-dependent read-data source standing in
+for the fluid partner, and a write-data history — so the implicit-coupling
+rollback and subcycling paths are testable without a fluid solver or a
+`precice-config.xml` (the test double SURVEY.md §4 calls for).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Protocol, runtime_checkable
+
+import numpy as np
+
+_EPS = 1e-12
+
+
+@runtime_checkable
+class Participant(Protocol):
+    """Exactly the 14 methods the reference code path uses."""
+
+    def getMeshDimensions(self, mesh_name: str) -> int: ...
+
+    def setMeshVertices(self, mesh_name: str, coords: np.ndarray) -> np.ndarray: ...
+
+    def requiresInitialData(self) -> bool: ...
+
+    def initialize(self) -> None: ...
+
+    def readData(
+        self, mesh_name: str, data_name: str, ids: np.ndarray, relative_dt: float
+    ) -> np.ndarray: ...
+
+    def writeData(
+        self, mesh_name: str, data_name: str, ids: np.ndarray, values: np.ndarray
+    ) -> None: ...
+
+    def advance(self, dt: float) -> None: ...
+
+    def isCouplingOngoing(self) -> bool: ...
+
+    def getMaxTimeStepSize(self) -> float: ...
+
+    def isTimeWindowComplete(self) -> bool: ...
+
+    def requiresWritingCheckpoint(self) -> bool: ...
+
+    def requiresReadingCheckpoint(self) -> bool: ...
+
+    def finalize(self) -> None: ...
+
+
+class FakeParticipant:
+    """Scriptable in-process coupling partner.
+
+    Args:
+      dim: coupling mesh dimension.
+      window_dt: coupling time-window size (what `getMaxTimeStepSize`
+        reports as the remaining window).
+      end_time: coupling stops once this much time is completed.
+      read_fn: `(t, coords) -> (n_vertices, dim)` data sampled at absolute
+        time `t` — the stand-in fluid field. Defaults to zeros.
+      implicit_iterations: 1 = explicit coupling; k > 1 = every window is
+        repeated k times, exercising the checkpoint write/reload protocol
+        exactly like a non-converging implicit scheme.
+      requires_initial_data: whether the partner wants data before
+        `initialize` (preCICE `<exchange ... initialize="true"/>`).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        window_dt: float,
+        end_time: float,
+        read_fn: Optional[Callable[[float, np.ndarray], np.ndarray]] = None,
+        implicit_iterations: int = 1,
+        requires_initial_data: bool = False,
+    ):
+        self.dim = dim
+        self.window_dt = float(window_dt)
+        self.end_time = float(end_time)
+        self.read_fn = read_fn
+        self.implicit_iterations = int(implicit_iterations)
+        self._requires_initial_data = requires_initial_data
+
+        self.coords: Optional[np.ndarray] = None
+        self.initialized = False
+        self.finalized = False
+        self.window_start = 0.0
+        self.time_in_window = 0.0
+        self.iteration = 1  # implicit sub-iteration within current window
+        self._window_complete = False
+        self._needs_write_checkpoint = False
+        self._needs_read_checkpoint = False
+        self.write_history: List[tuple] = []  # (t, iteration, values)
+        self.read_log: List[float] = []
+
+    # -- mesh access ------------------------------------------------------
+
+    def getMeshDimensions(self, mesh_name: str) -> int:
+        return self.dim
+
+    def setMeshVertices(self, mesh_name: str, coords: np.ndarray) -> np.ndarray:
+        assert not self.initialized, "setMeshVertices after initialize"
+        coords = np.asarray(coords, dtype=np.float64).reshape(-1, self.dim)
+        self.coords = coords
+        return np.arange(coords.shape[0], dtype=np.int32)
+
+    # -- steering ---------------------------------------------------------
+
+    def requiresInitialData(self) -> bool:
+        return self._requires_initial_data and not self.initialized
+
+    def initialize(self) -> None:
+        assert self.coords is not None, "initialize before setMeshVertices"
+        self.initialized = True
+        self._needs_write_checkpoint = self.implicit_iterations > 1
+
+    def isCouplingOngoing(self) -> bool:
+        return self.initialized and not self.finalized and (
+            self.window_start < self.end_time - _EPS
+        )
+
+    def getMaxTimeStepSize(self) -> float:
+        return self.window_dt - self.time_in_window
+
+    def isTimeWindowComplete(self) -> bool:
+        return self._window_complete
+
+    def requiresWritingCheckpoint(self) -> bool:
+        if self._needs_write_checkpoint:
+            self._needs_write_checkpoint = False
+            return True
+        return False
+
+    def requiresReadingCheckpoint(self) -> bool:
+        if self._needs_read_checkpoint:
+            self._needs_read_checkpoint = False
+            return True
+        return False
+
+    # -- data -------------------------------------------------------------
+
+    def readData(self, mesh_name, data_name, ids, relative_dt) -> np.ndarray:
+        assert self.initialized
+        t = self.window_start + self.time_in_window + float(relative_dt)
+        self.read_log.append(t)
+        if self.read_fn is None:
+            return np.zeros((len(ids), self.dim))
+        return np.asarray(self.read_fn(t, self.coords[ids]), dtype=np.float64)
+
+    def writeData(self, mesh_name, data_name, ids, values) -> None:
+        values = np.asarray(values, dtype=np.float64).reshape(-1, self.dim)
+        t = self.window_start + self.time_in_window
+        self.write_history.append((t, self.iteration, values.copy()))
+
+    # -- stepping ---------------------------------------------------------
+
+    def advance(self, dt: float) -> None:
+        assert self.initialized and not self.finalized
+        assert dt <= self.getMaxTimeStepSize() + _EPS, (
+            f"dt={dt} exceeds remaining window {self.getMaxTimeStepSize()}"
+        )
+        self.time_in_window += float(dt)
+        self._window_complete = False
+        if self.time_in_window >= self.window_dt - _EPS:
+            # window boundary reached
+            if self.iteration < self.implicit_iterations:
+                # repeat the window (non-converged implicit iteration)
+                self.iteration += 1
+                self.time_in_window = 0.0
+                self._needs_read_checkpoint = True
+            else:
+                self._window_complete = True
+                self.window_start += self.window_dt
+                self.time_in_window = 0.0
+                self.iteration = 1
+                if self.implicit_iterations > 1 and self.isCouplingOngoing():
+                    self._needs_write_checkpoint = True
+
+    def finalize(self) -> None:
+        self.finalized = True
+
+
+class PreciceParticipant:
+    """Thin binding to real pyprecice (preCICE v3). Import-gated: this
+    image has no libprecice; construction raises with guidance unless
+    pyprecice is installed (production deployments couple to OpenFOAM etc.
+    through this class — same call surface as `FakeParticipant`)."""
+
+    def __init__(self, participant_name: str, config_file: str, rank=0, size=1):
+        try:
+            import precice
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise ImportError(
+                "pyprecice is not installed; use FakeParticipant for "
+                "standalone/test runs or install preCICE v3 + pyprecice "
+                "for real coupled FSI"
+            ) from e
+        self._p = precice.Participant(participant_name, config_file, rank, size)
+
+    def __getattr__(self, name):  # delegate the full surface
+        return getattr(self._p, name)
+
+    # pyprecice exposes snake_case; map the camelCase surface  ------------
+    def getMeshDimensions(self, mesh_name):
+        return self._p.get_mesh_dimensions(mesh_name)
+
+    def setMeshVertices(self, mesh_name, coords):
+        return self._p.set_mesh_vertices(mesh_name, coords)
+
+    def requiresInitialData(self):
+        return self._p.requires_initial_data()
+
+    def initialize(self):
+        return self._p.initialize()
+
+    def readData(self, mesh_name, data_name, ids, relative_dt):
+        return self._p.read_data(mesh_name, data_name, ids, relative_dt)
+
+    def writeData(self, mesh_name, data_name, ids, values):
+        return self._p.write_data(mesh_name, data_name, ids, values)
+
+    def advance(self, dt):
+        return self._p.advance(dt)
+
+    def isCouplingOngoing(self):
+        return self._p.is_coupling_ongoing()
+
+    def getMaxTimeStepSize(self):
+        return self._p.get_max_time_step_size()
+
+    def isTimeWindowComplete(self):
+        return self._p.is_time_window_complete()
+
+    def requiresWritingCheckpoint(self):
+        return self._p.requires_writing_checkpoint()
+
+    def requiresReadingCheckpoint(self):
+        return self._p.requires_reading_checkpoint()
+
+    def finalize(self):
+        return self._p.finalize()
+
+
+def make_participant(params, fake: Optional[FakeParticipant] = None):
+    """Participant factory: an explicitly supplied fake (tests/standalone),
+    else real pyprecice from the run parameters (the reference constructs
+    its participant at solver construction, `adapter.h:217-225`)."""
+    if fake is not None:
+        return fake
+    return PreciceParticipant(params.participant_name, params.config_file)

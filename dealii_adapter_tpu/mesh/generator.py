@@ -212,6 +212,7 @@ def make_scenario_grid(
     ids: Dict[int, int] | None = None,
     refine: int = 0,
     solver: str = "linear",
+    scale: int = 1,
 ) -> Tuple[StructuredMesh, Dict[str, int]]:
     """Build the FSI3 or PF flap grid with the reference's boundary-ID
     semantics (`linear_elasticity.cc:79-188`, `nonlinear_elasticity.cc:171-301`).
@@ -240,7 +241,7 @@ def make_scenario_grid(
     else:
         raise ValueError(f"Unknown scenario '{scenario}' (use 'FSI3' or 'PF')")
 
-    factor = 2 ** refine
+    factor = (2 ** refine) * scale  # `scale` = linear resolution multiplier
     reps = tuple(ni * factor for ni in n[:dim])
     mesh = subdivided_hyper_rectangle(reps, p0[:dim], p1[:dim], degree)
 
