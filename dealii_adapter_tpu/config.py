@@ -101,6 +101,11 @@ class AllParameters(
     dtype: str = "float64"  # "float64" | "float32"
     use_pallas: bool = False  # Pallas element kernels on TPU
     n_devices: int = 1  # device-mesh size for sharded element batches
+    # matrix-free preconditioner for CG (the reference's SSOR is inherently
+    # sequential; Chebyshev-accelerated Jacobi is the TPU-native equivalent)
+    preconditioner: str = "Jacobi"  # "Jacobi" | "Chebyshev" | "None"
+    cheb_degree: int = 4
+    cheb_eig_ratio: float = 30.0
 
     def __post_init__(self):
         self.finalize()

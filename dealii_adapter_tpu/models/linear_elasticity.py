@@ -41,7 +41,12 @@ from ..ops.element_ops import (
     make_face_loading,
     make_operator,
 )
-from ..solvers.cg import cg_solve, jacobi_preconditioner
+from ..solvers.cg import (
+    cg_solve,
+    chebyshev_preconditioner,
+    estimate_lambda_max,
+    jacobi_preconditioner,
+)
 from ..solvers.direct import DenseCholesky
 
 
@@ -132,7 +137,19 @@ class LinearElastodynamics:
         # Jacobi diagonal of the BC-masked stepping matrix (1 on constrained)
         diag_np = assemble_diagonal(self.space, A_e)
         diag = self.mask * jnp.asarray(diag_np, dtype=self.dtype) + (1.0 - self.mask)
-        self._precond = jacobi_preconditioner(diag)
+        if params.preconditioner == "Chebyshev":
+            A_bc = self.masked_operator(self.A)
+            lam = float(
+                estimate_lambda_max(A_bc, diag, (self.space.n_nodes, dim))
+            )
+            self._precond = chebyshev_preconditioner(
+                A_bc, diag, lam,
+                degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
+            )
+        elif params.preconditioner == "None":
+            self._precond = None
+        else:
+            self._precond = jacobi_preconditioner(diag)
 
         self.face_load = make_face_loading(
             self.space, elem, self.interface_id, self.dtype

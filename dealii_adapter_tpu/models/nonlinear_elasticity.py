@@ -45,7 +45,12 @@ from ..ops.element_ops import (
     body_force_vector,
     make_operator,
 )
-from ..solvers.cg import cg_solve, jacobi_preconditioner
+from ..solvers.cg import (
+    cg_solve,
+    chebyshev_preconditioner,
+    estimate_lambda_max,
+    jacobi_preconditioner,
+)
 from .material import NeoHookean, det_and_inv, kinematics
 
 
@@ -240,7 +245,33 @@ class NonlinearElasticity:
         Ke_precond = elemK.K_e + a1 * elem.M_e
         diag_np = assemble_diagonal(space, Ke_precond)
         diag = self.mask * jnp.asarray(diag_np, dtype=dt) + (1.0 - self.mask)
-        self._precond = jacobi_preconditioner(diag)
+        if params.preconditioner == "Chebyshev":
+            # Chebyshev smooths on the *constant* small-strain proxy of the
+            # tangent (exact tangent changes per Newton iteration; the proxy
+            # shares its spectrum's shape at moderate strains)
+            if sharded:
+                from ..parallel.sharded_ops import ShardedOperator as _ShOp
+
+                proxy = _ShOp(
+                    part=self._part, mesh=self.device_mesh,
+                    E=jnp.asarray(Ke_precond, dtype=dt), dim=dim,
+                )
+            else:
+                proxy = make_operator(space, Ke_precond, dt)
+            mask = self.mask
+
+            def proxy_bc(v):
+                return mask * proxy(mask * v) + (1.0 - mask) * v
+
+            lam = float(estimate_lambda_max(proxy_bc, diag, (space.n_nodes, dim)))
+            self._precond = chebyshev_preconditioner(
+                proxy_bc, diag, lam,
+                degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
+            )
+        elif params.preconditioner == "None":
+            self._precond = None
+        else:
+            self._precond = jacobi_preconditioner(diag)
 
         self._max_cg_iter = int(space.n_dofs * params.max_iterations_lin)
 
