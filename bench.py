@@ -83,9 +83,22 @@ def run_steps(model, n_steps, magnitude=1000.0):
     return elapsed, diags
 
 
+def _enable_compile_cache():
+    """The axon-tunneled TPU pays ~8 min for the first compile in a fresh
+    process; the persistent cache amortizes that across bench runs."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
     import dealii_adapter_tpu  # noqa: F401  (x64 config)
     import jax
+
+    _enable_compile_cache()
 
     scale = int(os.environ.get("BENCH_SCALE", "9"))
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))

@@ -106,6 +106,10 @@ class AllParameters(
     preconditioner: str = "Jacobi"  # "Jacobi" | "Chebyshev" | "None"
     cheb_degree: int = 4
     cheb_eig_ratio: float = 30.0
+    # element gather/scatter formulation: "structured" = gather-free strided
+    # patches + overlap-add (single-device), "gather" = transpose-gather
+    # plans (required for sharding), "auto" = structured unless sharded
+    element_backend: str = "auto"
 
     def __post_init__(self):
         self.finalize()

@@ -126,9 +126,16 @@ class LinearElastodynamics:
             self.K, self.M, self.A = mkop(elem.K_e), mkop(elem.M_e), mkop(A_e)
         else:
             self._part = None
-            self.K = make_operator(self.space, elem.K_e, self.dtype)
-            self.M = make_operator(self.space, elem.M_e, self.dtype)
-            self.A = make_operator(self.space, A_e, self.dtype)
+            backend = params.element_backend
+            if backend == "auto":
+                backend = "structured"
+            if backend == "structured":
+                from ..ops.structured import make_structured_operator as _mk
+            else:
+                _mk = make_operator
+            self.K = _mk(self.space, elem.K_e, self.dtype)
+            self.M = _mk(self.space, elem.M_e, self.dtype)
+            self.A = _mk(self.space, A_e, self.dtype)
 
         self.mask = jnp.asarray(
             self.space.dirichlet_mask(tags["clamped"], tags.get("out_of_plane")),

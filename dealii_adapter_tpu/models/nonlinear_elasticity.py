@@ -159,6 +159,15 @@ class NonlinearElasticity:
         dt = self.dtype
 
         sharded = self.device_mesh is not None
+        if sharded and params.element_backend == "structured":
+            raise NotImplementedError(
+                "structured element backend is single-device; use "
+                "element_backend='gather' (or 'auto') with a device mesh"
+            )
+        self._structured = (not sharded) and params.element_backend in (
+            "auto",
+            "structured",
+        )
         if sharded:
             from ..parallel.partition import CellPartition
             from ..parallel.sharded_ops import (
@@ -173,7 +182,9 @@ class NonlinearElasticity:
         else:
             self._part = None
             self.cells = jnp.asarray(space.cells)
-            self.plan = jnp.asarray(space.plan)
+            # the (n_nodes, valence) plan is only materialized on device for
+            # the gather backend (structured mode never touches it)
+            self.plan = None if self._structured else jnp.asarray(space.plan)
         # physical reference gradients and quadrature weights
         self.G = jnp.asarray(tab.dN / h[None, None, :], dtype=dt)  # (q,npc,dim)
         self.N = jnp.asarray(tab.N, dtype=dt)  # (q,npc)
@@ -200,6 +211,17 @@ class NonlinearElasticity:
             self._sharded_internal = sharded_cellwise_reduction(
                 self._part, self.device_mesh, int_kernel, has_min=True
             )
+        elif self._structured:
+            from ..ops.structured import (
+                _cells_shape,
+                _grid_shape,
+                make_structured_operator,
+            )
+
+            self.M = make_structured_operator(space, elem.M_e, dt)
+            self._grid_shape = _grid_shape(space)
+            self._reps_rev = _cells_shape(space)
+            self._sharded_internal = None
         else:
             self.M = make_operator(space, elem.M_e, dt)
             self._sharded_internal = None
@@ -289,8 +311,19 @@ class NonlinearElasticity:
     def _internal_force_and_J(self, u: jnp.ndarray):
         if self._sharded_internal is not None:
             return self._sharded_internal(u)
-        n_cells, npc = self.cells.shape
         dim = u.shape[-1]
+        if self._structured:
+            from ..ops.structured import extract_cell_patches, overlap_add
+
+            p = self.space.mesh.degree
+            u_grid = u.reshape(self._grid_shape + (dim,))
+            ucell = extract_cell_patches(u_grid, p, self._reps_rev)
+            rcell, min_J = internal_force_cellwise(
+                ucell, self.G, self.w, self.material
+            )
+            r = overlap_add(rcell, p, self._reps_rev, self._grid_shape)
+            return r.reshape(-1, dim), min_J
+        n_cells, npc = self.cells.shape
         rcell, min_J = internal_force_cellwise(
             u[self.cells], self.G, self.w, self.material
         )
