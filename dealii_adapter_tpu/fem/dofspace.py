@@ -40,7 +40,15 @@ def build_transpose_gather_plan(
 ) -> Tuple[np.ndarray, int]:
     """Build the (n_nodes, max_valence) plan indexing into the flattened
     (n_cells * nodes_per_cell + 1) cell-value array; the final sentinel row
-    is zero. Returns (plan, sentinel_index)."""
+    is zero. Returns (plan, sentinel_index).
+
+    Uses the O(n) C++ builder (native.py / csrc) when available; the numpy
+    path below is the O(n log n) portable fallback."""
+    from ..native import build_plan_native
+
+    res = build_plan_native(cells, n_nodes)
+    if res is not None:
+        return res
     n_cells, npc = cells.shape
     flat_nodes = cells.ravel().astype(np.int64)
     order = np.argsort(flat_nodes, kind="stable")

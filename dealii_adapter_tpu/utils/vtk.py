@@ -121,7 +121,13 @@ def vtk_lagrange_perm(degree: int, dim: int) -> np.ndarray:
 
 def _b64(arr: np.ndarray) -> str:
     raw = arr.tobytes()
-    return base64.b64encode(struct.pack("<Q", len(raw)) + raw).decode("ascii")
+    payload = struct.pack("<Q", len(raw)) + raw
+    from ..native import b64_native
+
+    enc = b64_native(payload)
+    if enc is not None:
+        return enc
+    return base64.b64encode(payload).decode("ascii")
 
 
 def _data_array(name: str, arr: np.ndarray, n_comp: Optional[int] = None) -> str:
