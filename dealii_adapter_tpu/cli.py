@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="shard element batches over this many devices")
     p.add_argument("--dtype", choices=("float32", "float64"), default=None)
     p.add_argument("--no-output", action="store_true")
+    p.add_argument("--verbose", action="store_true",
+                   help="print the per-iteration Newton convergence table "
+                        "(host callback; CPU platform only)")
     return p
 
 
@@ -86,7 +89,10 @@ def main(argv=None) -> int:
             NonlinearElasticity,
         )
 
-        model = NonlinearElasticity(params, refine=args.refine)
+        model = NonlinearElasticity(
+            params, refine=args.refine,
+            verbose=args.verbose and devs[0].platform == "cpu",
+        )
     else:
         from dealii_adapter_tpu.models.linear_elasticity import (
             LinearElastodynamics,

@@ -104,7 +104,9 @@ class NonlinearElasticity:
         refine: int = 0,
         quasi_static: bool = False,
         device_mesh=None,
+        verbose: bool = False,
     ):
+        self.verbose = verbose
         if not params.data_consistent:
             raise ValueError(
                 "The neo-Hookean solid doesn't support 'Force' data reading. "
@@ -425,6 +427,16 @@ class NonlinearElasticity:
                 res_abs = norm(rhs)
                 res0 = jnp.where(c.it == 0, jnp.maximum(res_abs, 1e-300), c.res0)
                 res_rel = res_abs / res0
+                if self.verbose:
+                    # the reference's per-iteration convergence table
+                    # (`nonlinear_elasticity.cc:503-542`); host callback, so
+                    # only for interactive/debug runs
+                    jax.debug.print(
+                        "    NR it {it}: RES_F(abs) {ra:.4e}  RES_F(rel) "
+                        "{rr:.4e}  NU(rel) {ur:.4e}  min J {mj:.4f}",
+                        it=c.it, ra=res_abs, rr=res_rel,
+                        ur=c.upd_rel, mj=min_J,
+                    )
                 # dual rel/abs rule of `nonlinear_elasticity.cc:459-463`
                 conv = jnp.logical_and(
                     c.it > 0,
