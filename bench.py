@@ -43,6 +43,7 @@ def build_model(scale, dtype, degree, device_mesh=None):
         max_iterations_NR=10,
         max_iterations_lin=1.0,
         dtype=dtype,
+        preconditioner=os.environ.get("BENCH_PRECOND", "MG"),
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

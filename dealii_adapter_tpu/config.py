@@ -176,6 +176,13 @@ _PRM_KEYMAP: Dict[Tuple[str, str], str] = {
     ("precice configuration", "read data name"): "read_data_name",
     ("precice configuration", "write data name"): "write_data_name",
     ("precice configuration", "flap location"): "flap_location",
+    # TPU-native extension knobs (no reference equivalent)
+    ("tpu", "dim"): "dim",
+    ("tpu", "dtype"): "dtype",
+    ("tpu", "devices"): "n_devices",
+    ("tpu", "preconditioner"): "preconditioner",
+    ("tpu", "chebyshev degree"): "cheb_degree",
+    ("tpu", "element backend"): "element_backend",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(AllParameters)}

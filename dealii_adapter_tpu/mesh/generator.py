@@ -255,4 +255,8 @@ def make_scenario_grid(
         mapping[4] = tags["out_of_plane"]
         mapping[5] = tags["out_of_plane"]
     mesh = mesh.relabel_boundaries(mapping)
+    # raw colorize ids of the Dirichlet faces, for rebuilding equivalent
+    # masks on coarser un-relabeled meshes (multigrid levels)
+    tags["clamped_raw_ids"] = [id_short_bottom]
+    tags["oop_raw_ids"] = [4, 5] if dim == 3 else []
     return mesh, tags

@@ -153,6 +153,21 @@ class LinearElastodynamics:
                 A_bc, diag, lam,
                 degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
             )
+        elif params.preconditioner == "MG":
+            if device_mesh is not None:
+                raise NotImplementedError(
+                    "MG preconditioner is single-device for now; use "
+                    "Jacobi/Chebyshev with a device mesh"
+                )
+            from ..solvers.multigrid import GeometricMultigrid
+
+            c = (theta * dt) ** 2
+            self._precond = GeometricMultigrid(
+                self.mesh, tags,
+                self.masked_operator(self.A), diag, self.mask,
+                lmbda=c * params.lmbda, mu=c * params.mu,
+                mass_coeff=params.rho, dtype=self.dtype,
+            )
         elif params.preconditioner == "None":
             self._precond = None
         else:

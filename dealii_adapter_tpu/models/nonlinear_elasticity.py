@@ -292,6 +292,26 @@ class NonlinearElasticity:
                 proxy_bc, diag, lam,
                 degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
             )
+        elif params.preconditioner == "MG":
+            if sharded:
+                raise NotImplementedError(
+                    "MG preconditioner is single-device for now; use "
+                    "Jacobi/Chebyshev with a device mesh"
+                )
+            from ..ops.structured import make_structured_operator
+            from ..solvers.multigrid import GeometricMultigrid
+
+            proxy = make_structured_operator(space, Ke_precond, dt)
+            mask = self.mask
+
+            def proxy_bc(v):
+                return mask * proxy(mask * v) + (1.0 - mask) * v
+
+            self._precond = GeometricMultigrid(
+                self.mesh, self.tags, proxy_bc, diag, mask,
+                lmbda=lam_eff, mu=params.mu,
+                mass_coeff=a1 * params.rho, dtype=dt,
+            )
         elif params.preconditioner == "None":
             self._precond = None
         else:

@@ -1,0 +1,296 @@
+"""Matrix-free geometric multigrid preconditioner on structured lattices.
+
+The decisive solver upgrade over the reference (CG + SSOR,
+`linear_elasticity.cc:536-555`): on structured tensor-product meshes,
+coarsening, transfers and coarse operators are all trivial —
+
+* level 0: the Q_p operator of the model (structured backend)
+* level 1: Q1 rediscretization on the same cell lattice (p-coarsening)
+* level >= 2: Q1 on cell counts halved per axis (h-coarsening), down to a
+  dense-Cholesky coarse solve
+* transfers: 1D linear interpolation matrices per axis (GLL-aware on the
+  fine level), applied separably as three small einsums — O(n) with tiny
+  constants; restriction is the exact transpose so the symmetric V-cycle
+  stays SPD for use inside CG
+* smoother: Chebyshev polynomial on the Jacobi-scaled level operator
+  (upper-spectrum damping), entirely matrix-free
+
+Every level op is the same batched element matvec the models already use,
+so the whole V-cycle jits into one XLA program with zero host syncs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofspace import DofSpace
+from ..mesh.generator import StructuredMesh, subdivided_hyper_rectangle
+from ..ops.element_ops import ElementMatrices, assemble_dense, assemble_diagonal
+from ..ops.structured import make_structured_operator
+
+
+def _interp_1d(x_fine: np.ndarray, x_coarse: np.ndarray) -> np.ndarray:
+    """(n_fine, n_coarse) linear interpolation matrix: hat functions on the
+    coarse 1D grid evaluated at the fine nodes."""
+    P = np.zeros((len(x_fine), len(x_coarse)))
+    for i, x in enumerate(x_fine):
+        j = np.searchsorted(x_coarse, x) - 1
+        j = min(max(j, 0), len(x_coarse) - 2)
+        t = (x - x_coarse[j]) / (x_coarse[j + 1] - x_coarse[j])
+        t = min(max(t, 0.0), 1.0)
+        P[i, j] = 1.0 - t
+        P[i, j + 1] = t
+    return P
+
+
+def _apply_sep(u_grid: jnp.ndarray, mats: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Apply one (n_out_ax, n_in_ax) matrix per grid axis (slowest first)
+    to a (..., dim) lattice field — separable tensor-product transfer."""
+    ndim = len(mats)
+    out = u_grid
+    for ax, P in enumerate(mats):
+        out = jnp.moveaxis(
+            jnp.tensordot(P, out, axes=(1, ax)), 0, ax
+        )
+    return out
+
+
+def _boundary_mask(mesh: StructuredMesh, tags: dict) -> np.ndarray:
+    """(n_nodes, dim) Dirichlet mask for a level mesh. Coarse level meshes
+    carry *raw colorize* boundary ids (they are never scenario-relabeled),
+    so the mask is derived from the raw face ids the scenario recorded
+    (`clamped_raw_ids` / `oop_raw_ids` from make_scenario_grid)."""
+    space = DofSpace.create(mesh)
+    mask = np.ones((space.n_nodes, mesh.dim))
+    for bid in tags.get("clamped_raw_ids", [tags.get("clamped")]):
+        if bid in space.boundary_nodes:
+            mask[space.boundary_nodes[bid], :] = 0.0
+    if mesh.dim == 3:
+        for bid in tags.get("oop_raw_ids", []):
+            if bid in space.boundary_nodes:
+                mask[space.boundary_nodes[bid], 2] = 0.0
+    return mask
+
+
+@dataclasses.dataclass
+class MGLevel:
+    operator: Callable  # masked SPD action on (n_nodes, dim)
+    diag: jnp.ndarray  # masked diagonal (1 on constrained)
+    mask: jnp.ndarray
+    grid_shape: Tuple[int, ...]  # node lattice, slowest first
+    lam_max: float  # upper bound of diag^-1 A spectrum
+    # transfers to the NEXT (coarser) level; None on the coarsest
+    P_1d: Optional[Tuple[jnp.ndarray, ...]] = None  # fine <- coarse per axis
+    R_1d: Optional[Tuple[jnp.ndarray, ...]] = None  # transposes
+    coarse_solve: Optional[Callable] = None  # only on the coarsest level
+
+
+def _chebyshev_smooth(level: MGLevel, b, x, degree: int):
+    """`degree` Chebyshev iterations targeting [lam_max/4, lam_max] of the
+    Jacobi-scaled operator — damps the upper half-spectrum each visit."""
+    inv = 1.0 / level.diag
+    lmax = level.lam_max * 1.05
+    lmin = level.lam_max / 4.0
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    resid = b - level.operator(x)
+    d = (1.0 / theta) * (inv * resid)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(degree):
+        x = x + d
+        resid = resid - level.operator(d)
+        rho_next = 1.0 / (2.0 * sigma - rho)
+        d = rho_next * rho * d + (2.0 * rho_next / delta) * (inv * resid)
+        rho = rho_next
+    return x + d
+
+
+class GeometricMultigrid:
+    """Symmetric V-cycle preconditioner for the structured models.
+
+    Built from the fine mesh + Lame/Newmark coefficients; `__call__(r)` is
+    a pure jittable function (one V-cycle) usable directly as the `cg_solve`
+    preconditioner.
+    """
+
+    def __init__(
+        self,
+        mesh: StructuredMesh,
+        tags: dict,
+        fine_operator: Callable,
+        fine_diag: jnp.ndarray,
+        fine_mask: jnp.ndarray,
+        lmbda: float,
+        mu: float,
+        mass_coeff: float = 0.0,
+        smooth_degree: int = 2,
+        coarse_size: int = 4000,
+        dtype=jnp.float64,
+        fine_lam_max: Optional[float] = None,
+    ):
+        """`fine_operator` must already be BC-masked (identity on
+        constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
+        mass term in the operator (theta^2 dt^2 rho for the linear model's
+        stepping matrix, alpha_1 rho for Newmark) so coarse rediscretized
+        operators include the same reaction term."""
+        self.dtype = dtype
+        self.smooth_degree = smooth_degree
+        dim = mesh.dim
+
+        levels: List[MGLevel] = []
+
+        def lam_est(op, diag, shape):
+            from .cg import estimate_lambda_max
+
+            return float(estimate_lambda_max(op, diag, shape))
+
+        fine_shape = tuple(
+            reversed([mesh.reps[d] * mesh.degree + 1 for d in range(dim)])
+        )
+        levels.append(
+            MGLevel(
+                operator=fine_operator,
+                diag=fine_diag,
+                mask=fine_mask,
+                grid_shape=fine_shape,
+                lam_max=fine_lam_max
+                or lam_est(fine_operator, fine_diag, (int(np.prod(fine_shape)), dim)),
+            )
+        )
+
+        # build the Q1 hierarchy: same reps first (p-coarsening), then halve
+        # per axis with rounding — levels need not nest, the coordinate-based
+        # 1D interpolation handles non-nested lattices exactly
+        meshes = []
+        reps = mesh.reps
+        if mesh.degree > 1:
+            # FEM-SEM low-order level: Q1 on a lattice with the SAME node
+            # count as the Q_p space (spectrally equivalent, Orszag '80) —
+            # the 0->1 transfer is then near-identity interpolation instead
+            # of a lossy projection onto a p-times-coarser space
+            reps = tuple(r * mesh.degree for r in reps)
+            meshes.append(
+                subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1)
+            )
+            if meshes[-1].n_nodes * dim <= coarse_size:
+                reps = None  # Q1 level already small enough
+        while reps is not None and any(r > 1 for r in reps):
+            reps = tuple(max(1, (r + 1) // 2) for r in reps)
+            meshes.append(
+                subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1)
+            )
+            if meshes[-1].n_nodes * dim <= coarse_size:
+                break
+
+        prev_mesh = mesh
+        for li, m_c in enumerate(meshes):
+            space_c = DofSpace.create(m_c)
+            elem = ElementMatrices(space_c, lmbda, mu, mass_coeff)
+            E_c = elem.K_e + elem.M_e  # M_e built with rho=mass_coeff
+            mask_c = jnp.asarray(_boundary_mask(m_c, tags), dtype=dtype)
+            op_c_raw = make_structured_operator(space_c, E_c, dtype)
+
+            def masked(op, mk):
+                def apply(v):
+                    return mk * op(mk * v) + (1.0 - mk) * v
+
+                return apply
+
+            op_c = masked(op_c_raw, mask_c)
+            diag_c = mask_c * jnp.asarray(
+                assemble_diagonal(space_c, E_c), dtype=dtype
+            ) + (1.0 - mask_c)
+
+            # transfers between prev (finer) and this level
+            P_1d = tuple(
+                jnp.asarray(
+                    _interp_1d(prev_mesh.axis_coords[d], m_c.axis_coords[d]),
+                    dtype=dtype,
+                )
+                # grid axes are slowest-first => reverse the axis order
+                for d in reversed(range(dim))
+            )
+            R_1d = tuple(P.T for P in P_1d)
+            levels[-1].P_1d = P_1d
+            levels[-1].R_1d = R_1d
+
+            shape_c = tuple(reversed([m_c.reps[d] + 1 for d in range(dim)]))
+            is_last = li == len(meshes) - 1
+            coarse_solve = None
+            if is_last:
+                A_dense = assemble_dense(space_c, E_c)
+                flat_mask = np.asarray(mask_c, dtype=np.float64).reshape(-1)
+                A_dense = A_dense * flat_mask[:, None] * flat_mask[None, :]
+                np.fill_diagonal(
+                    A_dense, np.diag(A_dense) + (1.0 - flat_mask)
+                )
+                L = np.linalg.cholesky(A_dense)
+                L_d = jnp.asarray(L, dtype=dtype)
+                # separate device constant: lets XLA keep both triangles
+                # without constant-folding a transpose at every compile
+                LT_d = jnp.asarray(L.T.copy(), dtype=dtype)
+
+                def coarse_solve(b, L_d=L_d, LT_d=LT_d, n=space_c.n_nodes):
+                    y = jax.scipy.linalg.solve_triangular(
+                        L_d, b.reshape(-1), lower=True
+                    )
+                    z = jax.scipy.linalg.solve_triangular(
+                        LT_d, y, lower=False
+                    )
+                    return z.reshape(n, dim)
+
+            levels.append(
+                MGLevel(
+                    operator=op_c,
+                    diag=diag_c,
+                    mask=mask_c,
+                    grid_shape=shape_c,
+                    lam_max=lam_est(
+                        op_c, diag_c, (space_c.n_nodes, dim)
+                    ),
+                    coarse_solve=coarse_solve,
+                )
+            )
+            prev_mesh = m_c
+
+        self.levels = levels
+        self.dim = dim
+
+    # ------------------------------------------------------------------
+
+    def _restrict(self, li: int, r):
+        lv = self.levels[li]
+        r_grid = r.reshape(lv.grid_shape + (self.dim,))
+        rc = _apply_sep(r_grid, lv.R_1d)
+        rc = rc.reshape(-1, self.dim)
+        return self.levels[li + 1].mask * rc
+
+    def _prolong(self, li: int, ec):
+        lv = self.levels[li]
+        ec_grid = ec.reshape(self.levels[li + 1].grid_shape + (self.dim,))
+        ef = _apply_sep(ec_grid, lv.P_1d)
+        ef = ef.reshape(-1, self.dim)
+        return lv.mask * ef
+
+    def _vcycle(self, li: int, b):
+        lv = self.levels[li]
+        if lv.coarse_solve is not None:
+            return lv.coarse_solve(b)
+        if li == len(self.levels) - 1:  # coarsest without factorization
+            return _chebyshev_smooth(
+                lv, b, jnp.zeros_like(b), self.smooth_degree * 2
+            )
+        x = _chebyshev_smooth(lv, b, jnp.zeros_like(b), self.smooth_degree)
+        r = b - lv.operator(x)
+        ec = self._vcycle(li + 1, self._restrict(li, r))
+        x = x + self._prolong(li, ec)
+        return _chebyshev_smooth(lv, b, x, self.smooth_degree)
+
+    def __call__(self, r):
+        return self._vcycle(0, r)

@@ -66,7 +66,7 @@ def test_shared_nodes_between_neighbor_cells():
 @pytest.mark.parametrize("dim", [2, 3])
 def test_scenario_fsi3_geometry(dim):
     mesh, tags = make_scenario_grid("FSI3", dim, degree=1, solver="linear")
-    assert tags == LINEAR_IDS
+    assert {k: tags[k] for k in LINEAR_IDS} == LINEAR_IDS
     assert mesh.reps[:2] == (18, 3)
     assert np.allclose(mesh.p0[:2], [0.24899, 0.19])
     assert np.allclose(mesh.p1[:2], [0.6, 0.21])
@@ -82,7 +82,7 @@ def test_scenario_pf_geometry():
     mesh, tags = make_scenario_grid(
         "PF", 2, degree=1, flap_location=0.0, solver="neo-Hookean"
     )
-    assert tags == NONLINEAR_IDS
+    assert {k: tags[k] for k in NONLINEAR_IDS} == NONLINEAR_IDS
     assert mesh.reps == (3, 18)
     assert np.allclose(mesh.p0, [-0.05, 0.0])
     assert np.allclose(mesh.p1, [0.05, 1.0])
