@@ -44,6 +44,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         max_iterations_lin=1.0,
         dtype=dtype,
         preconditioner=os.environ.get("BENCH_PRECOND", "MG"),
+        # f32 V-cycle inside f64 CG: bulk flops at native v5e f32 speed,
+        # measured identical outer iteration counts/solutions
+        precond_dtype=os.environ.get("BENCH_PRECOND_DTYPE", "float32"),
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

@@ -103,9 +103,12 @@ class AllParameters(
     n_devices: int = 1  # device-mesh size for sharded element batches
     # matrix-free preconditioner for CG (the reference's SSOR is inherently
     # sequential; Chebyshev-accelerated Jacobi is the TPU-native equivalent)
-    preconditioner: str = "Jacobi"  # "Jacobi" | "Chebyshev" | "None"
+    preconditioner: str = "Jacobi"  # "Jacobi" | "Chebyshev" | "MG" | "None"
     cheb_degree: int = 4
     cheb_eig_ratio: float = 30.0
+    # dtype of the MG preconditioner hierarchy ("" = same as `dtype`);
+    # "float32" gives the mixed-precision f32-V-cycle-in-f64-CG scheme
+    precond_dtype: str = ""
     # element gather/scatter formulation: "structured" = gather-free strided
     # patches + overlap-add (single-device), "gather" = transpose-gather
     # plans (required for sharding), "auto" = structured unless sharded

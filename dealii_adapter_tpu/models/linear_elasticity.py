@@ -159,14 +159,26 @@ class LinearElastodynamics:
                     "MG preconditioner is single-device for now; use "
                     "Jacobi/Chebyshev with a device mesh"
                 )
+            from ..ops.structured import make_structured_operator
             from ..solvers.multigrid import GeometricMultigrid
 
             c = (theta * dt) ** 2
+            pdt = (
+                jnp.float32
+                if params.precond_dtype == "float32"
+                else self.dtype
+            )
+            A_p = make_structured_operator(self.space, A_e, pdt)
+            fmask = self.mask.astype(pdt)
+
+            def fine_op(v):
+                return fmask * A_p(fmask * v) + (1.0 - fmask) * v
+
             self._precond = GeometricMultigrid(
                 self.mesh, tags,
-                self.masked_operator(self.A), diag, self.mask,
+                fine_op, diag.astype(pdt), fmask,
                 lmbda=c * params.lmbda, mu=c * params.mu,
-                mass_coeff=params.rho, dtype=self.dtype,
+                mass_coeff=params.rho, dtype=pdt,
             )
         elif params.preconditioner == "None":
             self._precond = None

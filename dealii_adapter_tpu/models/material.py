@@ -63,6 +63,26 @@ class NeoHookean:
         tau_iso = tau_bar - (tr / dim)[..., None, None] * eye
         return p_vol[..., None, None] * eye + tau_iso
 
+    def tau_c(self, det_F, b_bar):
+        """Component-wise `tau`: `b_bar` is a dim x dim nested list of
+        equally-shaped arrays, returns the same structure. Used by the
+        TPU-layout residual kernel (models/nonlinear_elasticity.py), where
+        tensor components are separate 2D arrays so XLA never materializes
+        rank>=4 buffers with tiny trailing dims (those tile to (..,4,128)
+        and inflate HBM footprint ~40x at 1M DoF)."""
+        dim = len(b_bar)
+        p_vol = 0.5 * self.kappa * (det_F**2 - 1.0)
+        c2 = 2.0 * self.c1
+        tr = sum(b_bar[i][i] for i in range(dim))
+        iso_diag = p_vol - (c2 / dim) * tr
+        return [
+            [
+                c2 * b_bar[i][j] + (iso_diag if i == j else 0.0)
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+
     # -- spatial tangent (for tests / API parity) ----------------------------
 
     def Jc(self, det_F: jnp.ndarray, b_bar: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +158,53 @@ def det_and_inv(F: jnp.ndarray):
     )
     inv = cof / det[..., None, None]
     return det, inv
+
+
+def det_and_inv_c(F):
+    """Component-wise `det_and_inv`: F is a dim x dim nested list of
+    equally-shaped arrays; returns (det, inv) in the same structure."""
+    dim = len(F)
+    if dim == 2:
+        (a, b), (c, e) = F
+        det = a * e - b * c
+        inv_det = 1.0 / det
+        return det, [[e * inv_det, -b * inv_det], [-c * inv_det, a * inv_det]]
+    a = F
+    c00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+    c01 = a[1][2] * a[2][0] - a[1][0] * a[2][2]
+    c02 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+    det = a[0][0] * c00 + a[0][1] * c01 + a[0][2] * c02
+    c10 = a[0][2] * a[2][1] - a[0][1] * a[2][2]
+    c11 = a[0][0] * a[2][2] - a[0][2] * a[2][0]
+    c12 = a[0][1] * a[2][0] - a[0][0] * a[2][1]
+    c20 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+    c21 = a[0][2] * a[1][0] - a[0][0] * a[1][2]
+    c22 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    inv_det = 1.0 / det
+    inv = [
+        [c00 * inv_det, c10 * inv_det, c20 * inv_det],
+        [c01 * inv_det, c11 * inv_det, c21 * inv_det],
+        [c02 * inv_det, c12 * inv_det, c22 * inv_det],
+    ]
+    return det, inv
+
+
+def kinematics_c(grad_u):
+    """Component-wise `kinematics`: grad_u is a dim x dim nested list of
+    equally-shaped arrays -> (F, J, F_inv, b_bar) with tensor results in the
+    same nested-list structure."""
+    dim = len(grad_u)
+    F = [
+        [grad_u[i][j] + (1.0 if i == j else 0.0) for j in range(dim)]
+        for i in range(dim)
+    ]
+    J, F_inv = det_and_inv_c(F)
+    scale = J ** (-2.0 / dim)
+    b_bar = [
+        [scale * sum(F[i][k] * F[j][k] for k in range(dim)) for j in range(dim)]
+        for i in range(dim)
+    ]
+    return F, J, F_inv, b_bar
 
 
 def kinematics(grad_u: jnp.ndarray):

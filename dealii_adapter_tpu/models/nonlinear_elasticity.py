@@ -51,22 +51,53 @@ from ..solvers.cg import (
     estimate_lambda_max,
     jacobi_preconditioner,
 )
-from .material import NeoHookean, det_and_inv, kinematics
+from .material import NeoHookean, det_and_inv, kinematics_c
 
 
-def internal_force_cellwise(ucell, G, w, material):
-    """Per-cell internal-force kernel: (c, npc, dim) nodal displacements ->
-    ((c, npc, dim) per-cell residual contributions, min det F).
+def internal_force_cellwise_T(ut, G, w, material):
+    """Per-cell internal-force kernel in TPU layout: (dim, npc, c) nodal
+    displacements -> ((dim, npc, c) per-cell residual contributions, min
+    det F).
 
-    The QP loop of `nonlinear_elasticity.cc:873-996` as three dense batched
-    contractions (MXU) + pointwise Kirchhoff stress (VPU). Shared by the
-    single-device path and the shard_map'd SPMD path."""
-    grad_u = jnp.einsum("cnd,qne->cqde", ucell, G)
-    F, J, F_inv, b_bar = kinematics(grad_u)
-    tau = material.tau(J, b_bar)  # (c,q,dim,dim)
-    P_like = jnp.einsum("...de,...ke->...dk", tau, F_inv)  # tau F^{-T}
-    rcell = jnp.einsum("q,cqdk,qnk->cnd", w, P_like, G)
-    return rcell, jnp.min(J)
+    The QP loop of `nonlinear_elasticity.cc:873-996` as dense batched
+    contractions (MXU) + pointwise Kirchhoff stress (VPU). Tensor components
+    (F, tau, ...) are held as separate (q, c) arrays with the huge cell axis
+    trailing: TPU tiles the last two dims of every buffer to (sublane, 128),
+    so a (c, q, dim, dim) layout would pad the (dim, dim) tail to (4, 128)
+    and inflate the linearization residuals ~40x — fatal at 1M DoF. Shared
+    by the single-device paths and the shard_map'd SPMD path."""
+    dim, npc, c = ut.shape
+    # grad_u[d][e]: (q, c) = G_e (q, npc) @ ut_d (npc, c)
+    grad = [
+        [
+            jnp.dot(G[:, :, e], ut[d], preferred_element_type=ut.dtype)
+            for e in range(dim)
+        ]
+        for d in range(dim)
+    ]
+    F, J, F_inv, b_bar = kinematics_c(grad)
+    tau = material.tau_c(J, b_bar)
+    # P[d][k] = (tau F^{-T})[d][k] = sum_e tau[d][e] F_inv[k][e]
+    P = [
+        [
+            sum(tau[d][e] * F_inv[k][e] for e in range(dim))
+            for k in range(dim)
+        ]
+        for d in range(dim)
+    ]
+    # rt[d]: (npc, c) = sum_k (w-weighted G_k)^T (npc, q) @ P[d][k] (q, c)
+    GwT = [(G[:, :, k] * w[:, None]).T for k in range(dim)]
+    rt = jnp.stack(
+        [
+            sum(
+                jnp.dot(GwT[k], P[d][k], preferred_element_type=ut.dtype)
+                for k in range(dim)
+            )
+            for d in range(dim)
+        ],
+        axis=0,
+    )
+    return rt, jnp.min(J)
 
 
 class NonlinearState(NamedTuple):
@@ -205,10 +236,11 @@ class NonlinearElasticity:
 
             def int_kernel(u, cells):
                 cpd, npc = cells.shape
-                rcell, mn = internal_force_cellwise(
-                    u[cells], self.G, self.w, self.material
+                ut = u[cells].transpose(2, 1, 0)  # (dim, npc, cpd)
+                rt, mn = internal_force_cellwise_T(
+                    ut, self.G, self.w, self.material
                 )
-                return rcell.reshape(cpd * npc, dim), mn
+                return rt.transpose(2, 1, 0).reshape(cpd * npc, dim), mn
 
             self._sharded_internal = sharded_cellwise_reduction(
                 self._part, self.device_mesh, int_kernel, has_min=True
@@ -301,16 +333,17 @@ class NonlinearElasticity:
             from ..ops.structured import make_structured_operator
             from ..solvers.multigrid import GeometricMultigrid
 
-            proxy = make_structured_operator(space, Ke_precond, dt)
-            mask = self.mask
+            pdt = jnp.float32 if params.precond_dtype == "float32" else dt
+            proxy = make_structured_operator(space, Ke_precond, pdt)
+            fmask = self.mask.astype(pdt)
 
             def proxy_bc(v):
-                return mask * proxy(mask * v) + (1.0 - mask) * v
+                return fmask * proxy(fmask * v) + (1.0 - fmask) * v
 
             self._precond = GeometricMultigrid(
-                self.mesh, self.tags, proxy_bc, diag, mask,
+                self.mesh, self.tags, proxy_bc, diag.astype(pdt), fmask,
                 lmbda=lam_eff, mu=params.mu,
-                mass_coeff=a1 * params.rho, dtype=dt,
+                mass_coeff=a1 * params.rho, dtype=pdt,
             )
         elif params.preconditioner == "None":
             self._precond = None
@@ -335,20 +368,22 @@ class NonlinearElasticity:
             return self._sharded_internal(u)
         dim = u.shape[-1]
         if self._structured:
-            from ..ops.structured import extract_cell_patches, overlap_add
+            from ..ops.structured import extract_cell_patches_T, overlap_add_T
 
             p = self.space.mesh.degree
             u_grid = u.reshape(self._grid_shape + (dim,))
-            ucell = extract_cell_patches(u_grid, p, self._reps_rev)
-            rcell, min_J = internal_force_cellwise(
-                ucell, self.G, self.w, self.material
+            ut = extract_cell_patches_T(u_grid, p, self._reps_rev)
+            rt, min_J = internal_force_cellwise_T(
+                ut, self.G, self.w, self.material
             )
-            r = overlap_add(rcell, p, self._reps_rev, self._grid_shape)
+            r = overlap_add_T(rt, p, self._reps_rev, self._grid_shape)
             return r.reshape(-1, dim), min_J
         n_cells, npc = self.cells.shape
-        rcell, min_J = internal_force_cellwise(
-            u[self.cells], self.G, self.w, self.material
+        ut = u[self.cells].transpose(2, 1, 0)
+        rt, min_J = internal_force_cellwise_T(
+            ut, self.G, self.w, self.material
         )
+        rcell = rt.transpose(2, 1, 0)
         r = apply_plan(rcell.reshape(n_cells * npc, dim), self.plan)
         return r, min_J
 

@@ -130,6 +130,107 @@ def overlap_add(rcell: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray
     return out
 
 
+def extract_cell_patches_T(u_grid: jnp.ndarray, p: int, reps_rev) -> jnp.ndarray:
+    """(..grid.., dim) -> (dim, npc, n_cells): same strided slicing as
+    `extract_cell_patches` but with the *cell* index trailing. On TPU the
+    last two dims of a buffer are tiled to (sublane, 128); putting the huge
+    cell axis last keeps padding negligible, whereas the (n_cells, npc, dim)
+    layout tiles the tiny (npc, dim) tail and can inflate HBM footprint by
+    more than an order of magnitude at ~1M DoF."""
+    dim = u_grid.shape[-1]
+    ndim = len(reps_rev)
+    n_cells = 1
+    for r in reps_rev:
+        n_cells *= r
+    # patches[slot][d]: (n_cells,) — every intermediate is 1D so no stack
+    # ever materializes a badly-tiled (.., npc, dim) tail
+    patches = []
+    if ndim == 2:
+        ncy, ncx = reps_rev
+        for b in range(p + 1):
+            for a in range(p + 1):
+                sl = jax.lax.slice(
+                    u_grid,
+                    (b, a, 0),
+                    (b + (ncy - 1) * p + 1, a + (ncx - 1) * p + 1, dim),
+                    (p, p, 1),
+                )
+                patches.append(
+                    [sl[..., d].reshape(n_cells) for d in range(dim)]
+                )
+    else:
+        ncz, ncy, ncx = reps_rev
+        for c in range(p + 1):
+            for b in range(p + 1):
+                for a in range(p + 1):
+                    sl = jax.lax.slice(
+                        u_grid,
+                        (c, b, a, 0),
+                        (
+                            c + (ncz - 1) * p + 1,
+                            b + (ncy - 1) * p + 1,
+                            a + (ncx - 1) * p + 1,
+                            dim,
+                        ),
+                        (p, p, p, 1),
+                    )
+                    patches.append(
+                        [sl[..., d].reshape(n_cells) for d in range(dim)]
+                    )
+    rows = [
+        jnp.stack([pt[d] for pt in patches], axis=0) for d in range(dim)
+    ]  # dim x (npc, n_cells)
+    return jnp.stack(rows, axis=0)
+
+
+def overlap_add_T(rt: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray:
+    """(dim, npc, n_cells) -> (..grid.., dim): adjoint of
+    `extract_cell_patches_T`. Accumulates one scalar lattice per component
+    (all big intermediates keep the large axes trailing), stacking into the
+    canonical (..grid.., dim) nodal layout only at the end."""
+    dim, npc, n_cells = rt.shape
+    ndim = len(reps_rev)
+    comps = []
+    zero = jnp.zeros((), dtype=rt.dtype)
+    for d in range(dim):
+        out = jnp.zeros(tuple(grid_shape), dtype=rt.dtype)
+        slot = 0
+        if ndim == 2:
+            ncy, ncx = reps_rev
+            ny, nx = grid_shape
+            for b in range(p + 1):
+                for a in range(p + 1):
+                    block = rt[d, slot].reshape(ncy, ncx)
+                    out = out + jax.lax.pad(
+                        block,
+                        zero,
+                        (
+                            (b, ny - b - (ncy - 1) * p - 1, p - 1),
+                            (a, nx - a - (ncx - 1) * p - 1, p - 1),
+                        ),
+                    )
+                    slot += 1
+        else:
+            ncz, ncy, ncx = reps_rev
+            nz, ny, nx = grid_shape
+            for c in range(p + 1):
+                for b in range(p + 1):
+                    for a in range(p + 1):
+                        block = rt[d, slot].reshape(ncz, ncy, ncx)
+                        out = out + jax.lax.pad(
+                            block,
+                            zero,
+                            (
+                                (c, nz - c - (ncz - 1) * p - 1, p - 1),
+                                (b, ny - b - (ncy - 1) * p - 1, p - 1),
+                                (a, nx - a - (ncx - 1) * p - 1, p - 1),
+                            ),
+                        )
+                        slot += 1
+        comps.append(out)
+    return jnp.stack(comps, axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class StructuredOperator:
     """Drop-in replacement for `AssembledOperator` (same call surface) with

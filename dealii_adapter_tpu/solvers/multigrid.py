@@ -293,4 +293,10 @@ class GeometricMultigrid:
         return _chebyshev_smooth(lv, b, x, self.smooth_degree)
 
     def __call__(self, r):
-        return self._vcycle(0, r)
+        """One symmetric V-cycle. Input/output follow the caller's dtype;
+        internally everything runs in the hierarchy's `dtype` — building
+        with float32 gives a mixed-precision preconditioner (f32 V-cycle
+        inside f64 CG), which keeps the 1e-10 outer convergence contract
+        while the bulk of the flops run at native TPU f32 speed."""
+        z = self._vcycle(0, r.astype(self.dtype))
+        return z.astype(r.dtype)

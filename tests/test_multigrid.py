@@ -97,6 +97,26 @@ def test_mg_3d():
     assert its < 80, its
 
 
+def test_mixed_precision_mg_matches_f64():
+    """f32 V-cycle inside f64 CG: same iteration counts, same solution."""
+    results = {}
+    for pdtype in ("", "float32"):
+        p = AllParameters(
+            model="neo-Hookean", type_lin="CG", scenario="PF", delta_t=0.01,
+            poly_degree=2, mu=MU, nu=NU, rho=RHO,
+            preconditioner="MG", precond_dtype=pdtype,
+        )
+        m = NonlinearElasticity(p)
+        s = jnp.zeros((m.space.n_nodes, 2)).at[:, 0].set(5000.0)
+        st, info = m.step(m.initial_state(), s)
+        assert bool(info.converged)
+        results[pdtype] = (np.asarray(st.displacement), int(info.cg_iterations))
+    np.testing.assert_allclose(
+        results["float32"][0], results[""][0], rtol=1e-7, atol=1e-12
+    )
+    assert abs(results["float32"][1] - results[""][1]) <= 5
+
+
 def test_nonlinear_model_with_mg():
     p = AllParameters(
         model="neo-Hookean", type_lin="CG", scenario="PF", delta_t=0.01,
