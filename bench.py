@@ -47,6 +47,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # f32 V-cycle inside f64 CG: bulk flops at native v5e f32 speed,
         # measured identical outer iteration counts/solutions
         precond_dtype=os.environ.get("BENCH_PRECOND_DTYPE", "float32"),
+        # inexact Newton: the whole inner Krylov solve in f32, residual and
+        # state in f64 (v5e emulates f64; see config.solve_dtype)
+        solve_dtype=os.environ.get("BENCH_SOLVE_DTYPE", "float32"),
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

@@ -106,9 +106,16 @@ class AllParameters(
     preconditioner: str = "Jacobi"  # "Jacobi" | "Chebyshev" | "MG" | "None"
     cheb_degree: int = 4
     cheb_eig_ratio: float = 30.0
-    # dtype of the MG preconditioner hierarchy ("" = same as `dtype`);
-    # "float32" gives the mixed-precision f32-V-cycle-in-f64-CG scheme
+    # dtype of the MG preconditioner hierarchy ("" = follow the linear-solve
+    # dtype); "float32" gives the mixed-precision f32-V-cycle-in-f64-CG scheme
     precond_dtype: str = ""
+    # dtype of the inner Krylov solves ("" = same as `dtype`). "float32"
+    # runs the CG — operator action, preconditioner, vectors — in f32 while
+    # residuals, norms and state stay f64: inexact Newton for the nonlinear
+    # model, iterative refinement (defect correction) for the linear model's
+    # absolute 1e-10 contract. The idiomatic choice on TPU generations
+    # without native f64 (v5e emulates f64 at a large slowdown).
+    solve_dtype: str = ""
     # element gather/scatter formulation: "structured" = gather-free strided
     # patches + overlap-add (single-device), "gather" = transpose-gather
     # plans (required for sharding), "auto" = structured unless sharded
@@ -186,6 +193,8 @@ _PRM_KEYMAP: Dict[Tuple[str, str], str] = {
     ("tpu", "preconditioner"): "preconditioner",
     ("tpu", "chebyshev degree"): "cheb_degree",
     ("tpu", "element backend"): "element_backend",
+    ("tpu", "solve dtype"): "solve_dtype",
+    ("tpu", "preconditioner dtype"): "precond_dtype",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(AllParameters)}

@@ -45,6 +45,7 @@ from ..solvers.cg import (
     cg_solve,
     chebyshev_preconditioner,
     estimate_lambda_max,
+    ir_cg_solve,
     jacobi_preconditioner,
 )
 from ..solvers.direct import DenseCholesky
@@ -106,6 +107,14 @@ class LinearElastodynamics:
 
             device_mesh = _mkmesh(params.n_devices)
         self.device_mesh = device_mesh
+        # mixed-precision linear solves: the stepping-operator CG runs in
+        # f32 inside an f64 iterative-refinement loop (solvers/cg.py
+        # ir_cg_solve) so the reference's absolute 1e-10 tolerance is met in
+        # f64 while the Krylov flops run at native TPU f32 speed
+        sdt = jnp.float32 if params.solve_dtype == "float32" else self.dtype
+        self.solve_dtype = sdt
+        self._mixed = sdt != self.dtype
+
         if device_mesh is not None:
             from ..parallel.partition import CellPartition
             from ..parallel.sharded_ops import ShardedOperator
@@ -115,15 +124,16 @@ class LinearElastodynamics:
             )
             self._part = part
 
-            def mkop(E):
+            def mkop(E, dtype=self.dtype):
                 return ShardedOperator(
                     part=part,
                     mesh=device_mesh,
-                    E=jnp.asarray(E, dtype=self.dtype),
+                    E=jnp.asarray(E, dtype=dtype),
                     dim=self.space.dim,
                 )
 
             self.K, self.M, self.A = mkop(elem.K_e), mkop(elem.M_e), mkop(A_e)
+            self.A_lo = mkop(A_e, sdt) if self._mixed else self.A
         else:
             self._part = None
             backend = params.element_backend
@@ -136,21 +146,29 @@ class LinearElastodynamics:
             self.K = _mk(self.space, elem.K_e, self.dtype)
             self.M = _mk(self.space, elem.M_e, self.dtype)
             self.A = _mk(self.space, A_e, self.dtype)
+            self.A_lo = _mk(self.space, A_e, sdt) if self._mixed else self.A
 
         self.mask = jnp.asarray(
             self.space.dirichlet_mask(tags["clamped"], tags.get("out_of_plane")),
             dtype=self.dtype,
         )
+        self.mask_lo = self.mask.astype(sdt)
         # Jacobi diagonal of the BC-masked stepping matrix (1 on constrained)
         diag_np = assemble_diagonal(self.space, A_e)
         diag = self.mask * jnp.asarray(diag_np, dtype=self.dtype) + (1.0 - self.mask)
+        # preconditioners live in the dtype the Krylov solve runs in
         if params.preconditioner == "Chebyshev":
-            A_bc = self.masked_operator(self.A)
+            mask_s, diag_s = self.mask_lo, diag.astype(sdt)
+            A_lo = self.A_lo
+
+            def A_lo_cheb(v):
+                return mask_s * A_lo(mask_s * v) + (1.0 - mask_s) * v
+
             lam = float(
-                estimate_lambda_max(A_bc, diag, (self.space.n_nodes, dim))
+                estimate_lambda_max(A_lo_cheb, diag_s, (self.space.n_nodes, dim))
             )
             self._precond = chebyshev_preconditioner(
-                A_bc, diag, lam,
+                A_lo_cheb, diag_s, lam,
                 degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
             )
         elif params.preconditioner == "MG":
@@ -163,12 +181,11 @@ class LinearElastodynamics:
             from ..solvers.multigrid import GeometricMultigrid
 
             c = (theta * dt) ** 2
-            pdt = (
-                jnp.float32
-                if params.precond_dtype == "float32"
-                else self.dtype
+            pdt = jnp.float32 if params.precond_dtype == "float32" else sdt
+            # preconditioner-internal: fast default precision
+            A_p = make_structured_operator(
+                self.space, A_e, pdt, precision="default"
             )
-            A_p = make_structured_operator(self.space, A_e, pdt)
             fmask = self.mask.astype(pdt)
 
             def fine_op(v):
@@ -183,7 +200,7 @@ class LinearElastodynamics:
         elif params.preconditioner == "None":
             self._precond = None
         else:
-            self._precond = jacobi_preconditioner(diag)
+            self._precond = jacobi_preconditioner(diag.astype(sdt))
 
         self.face_load = make_face_loading(
             self.space, elem, self.interface_id, self.dtype
@@ -235,10 +252,17 @@ class LinearElastodynamics:
         K, M = self.K, self.M
         A_bc = self.masked_operator(self.A)
         mask = self.mask
+        mask_lo = self.mask_lo
+        A_lo = self.A_lo
+        lo_dtype = self.solve_dtype
+        mixed = self._mixed
         precond = self._precond
         use_cg = params.type_lin == "CG"
         direct = self._direct
         max_iter = self._max_cg_iter
+
+        def A_lo_bc(v):
+            return mask_lo * A_lo(mask_lo * v) + (1.0 - mask_lo) * v
 
         def step(state: LinearState, interface_data: jnp.ndarray):
             F_new = self.assemble_load(interface_data)
@@ -251,7 +275,20 @@ class LinearElastodynamics:
             )
             rhs = mask * rhs  # zero-valued Dirichlet rows
 
-            if use_cg:
+            if use_cg and mixed:
+                # f32 CG + f64 defect correction meets the absolute 1e-10
+                # contract (:542-543) with the Krylov flops in f32
+                res = ir_cg_solve(
+                    A_bc, A_lo_bc,
+                    rhs,
+                    mask * state.velocity,
+                    tol=1e-10,
+                    max_iter=max_iter,
+                    lo_dtype=lo_dtype,
+                    preconditioner=precond,
+                )
+                v_new, iters, resn = res.x, res.iterations, res.residual_norm
+            elif use_cg:
                 res = cg_solve(
                     A_bc,
                     rhs,

@@ -292,6 +292,67 @@ class NonlinearElasticity:
             dtype=dt,
         )
 
+        # Mixed-precision tangent: f32 copies of the operator constants for
+        # the inner Krylov solve (inexact Newton — the f64 residual/norms
+        # keep the reference's accuracy contract, the f32 linear solve runs
+        # at native TPU speed instead of emulated-f64 speed)
+        tdt = jnp.float32 if params.solve_dtype == "float32" else dt
+        self.solve_dtype = tdt
+        self._mixed_tangent = tdt != dt
+        if self._mixed_tangent:
+            G_t, w_t = self.G.astype(tdt), self.w.astype(tdt)
+            mat = self.material
+            self.mask_t = self.mask.astype(tdt)
+            if sharded:
+                self.M_t = ShardedOperator(
+                    part=self._part, mesh=self.device_mesh,
+                    E=jnp.asarray(elem.M_e, dtype=tdt), dim=dim,
+                )
+
+                def int_kernel_t(u, cells):
+                    cpd, npc = cells.shape
+                    ut = u[cells].transpose(2, 1, 0)
+                    rt, _ = internal_force_cellwise_T(ut, G_t, w_t, mat)
+                    return rt.transpose(2, 1, 0).reshape(cpd * npc, dim)
+
+                self._int_force_t = sharded_cellwise_reduction(
+                    self._part, self.device_mesh, int_kernel_t
+                )
+            elif self._structured:
+                from ..ops.structured import (
+                    extract_cell_patches_T,
+                    make_structured_operator,
+                    overlap_add_T,
+                )
+
+                self.M_t = make_structured_operator(space, elem.M_e, tdt)
+                p, gs, rr = space.mesh.degree, self._grid_shape, self._reps_rev
+
+                def int_force_t(u):
+                    ut = extract_cell_patches_T(u.reshape(gs + (dim,)), p, rr)
+                    rt, _ = internal_force_cellwise_T(ut, G_t, w_t, mat)
+                    return overlap_add_T(rt, p, rr, gs).reshape(-1, dim)
+
+                self._int_force_t = int_force_t
+            else:
+                self.M_t = make_operator(space, elem.M_e, tdt)
+                cells_c, plan_c = self.cells, self.plan
+
+                def int_force_t(u):
+                    n_cells, npc = cells_c.shape
+                    ut = u[cells_c].transpose(2, 1, 0)
+                    rt, _ = internal_force_cellwise_T(ut, G_t, w_t, mat)
+                    return apply_plan(
+                        rt.transpose(2, 1, 0).reshape(n_cells * npc, dim),
+                        plan_c,
+                    )
+
+                self._int_force_t = int_force_t
+        else:
+            self.mask_t = self.mask
+            self.M_t = None
+            self._int_force_t = None
+
         # Jacobi preconditioner from the small-strain linearization at F = I:
         # c0 = lambda_eff IxI + 2 mu S with lambda_eff = kappa - 2 mu / dim,
         # plus the Newmark mass term alpha_1 M.
@@ -301,6 +362,9 @@ class NonlinearElasticity:
         Ke_precond = elemK.K_e + a1 * elem.M_e
         diag_np = assemble_diagonal(space, Ke_precond)
         diag = self.mask * jnp.asarray(diag_np, dtype=dt) + (1.0 - self.mask)
+        # preconditioners live in the dtype the Krylov solve runs in
+        # (solve_dtype), unless precond_dtype narrows MG further
+        sdt = tdt
         if params.preconditioner == "Chebyshev":
             # Chebyshev smooths on the *constant* small-strain proxy of the
             # tangent (exact tangent changes per Newton iteration; the proxy
@@ -310,18 +374,19 @@ class NonlinearElasticity:
 
                 proxy = _ShOp(
                     part=self._part, mesh=self.device_mesh,
-                    E=jnp.asarray(Ke_precond, dtype=dt), dim=dim,
+                    E=jnp.asarray(Ke_precond, dtype=sdt), dim=dim,
                 )
             else:
-                proxy = make_operator(space, Ke_precond, dt)
-            mask = self.mask
+                proxy = make_operator(space, Ke_precond, sdt)
+            mask_s = self.mask.astype(sdt)
+            diag_s = diag.astype(sdt)
 
             def proxy_bc(v):
-                return mask * proxy(mask * v) + (1.0 - mask) * v
+                return mask_s * proxy(mask_s * v) + (1.0 - mask_s) * v
 
-            lam = float(estimate_lambda_max(proxy_bc, diag, (space.n_nodes, dim)))
+            lam = float(estimate_lambda_max(proxy_bc, diag_s, (space.n_nodes, dim)))
             self._precond = chebyshev_preconditioner(
-                proxy_bc, diag, lam,
+                proxy_bc, diag_s, lam,
                 degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
             )
         elif params.preconditioner == "MG":
@@ -333,8 +398,11 @@ class NonlinearElasticity:
             from ..ops.structured import make_structured_operator
             from ..solvers.multigrid import GeometricMultigrid
 
-            pdt = jnp.float32 if params.precond_dtype == "float32" else dt
-            proxy = make_structured_operator(space, Ke_precond, pdt)
+            pdt = jnp.float32 if params.precond_dtype == "float32" else sdt
+            # preconditioner-internal: fast default precision
+            proxy = make_structured_operator(
+                space, Ke_precond, pdt, precision="default"
+            )
             fmask = self.mask.astype(pdt)
 
             def proxy_bc(v):
@@ -348,7 +416,7 @@ class NonlinearElasticity:
         elif params.preconditioner == "None":
             self._precond = None
         else:
-            self._precond = jacobi_preconditioner(diag)
+            self._precond = jacobi_preconditioner(diag.astype(sdt))
 
         self._max_cg_iter = int(space.n_dofs * params.max_iterations_lin)
 
@@ -502,6 +570,34 @@ class NonlinearElasticity:
                 )
 
                 def do_solve(_):
+                    if use_cg and self._mixed_tangent:
+                        # inexact Newton: tangent action linearized from the
+                        # f32 copy of the internal force at the current
+                        # iterate; external/body terms have zero derivative
+                        # (stop_gradient pull-back, constant body force) and
+                        # the mass term is linear, so this is the complete
+                        # consistent tangent — just computed in f32
+                        tdtype = self.solve_dtype
+                        u_t = (state.displacement + c.delta).astype(tdtype)
+                        _, jvp_int = jax.linearize(self._int_force_t, u_t)
+                        mask_t = self.mask_t
+                        a1_t = 0.0 if self.quasi_static else self.alpha_1
+
+                        def K32(v):
+                            mv = mask_t * v
+                            Kv = jvp_int(mv)
+                            if not self.quasi_static:
+                                Kv = Kv + a1_t * self.M_t(mv)
+                            return mask_t * Kv + (1.0 - mask_t) * v
+
+                        tol = (params.tol_lin * res_abs).astype(tdtype)
+                        r = cg_solve(
+                            K32, rhs.astype(tdtype),
+                            jnp.zeros((n_nodes, dim), dtype=tdtype),
+                            tol=tol, max_iter=max_cg, preconditioner=precond,
+                        )
+                        return r.x.astype(self.dtype), r.iterations
+
                     # consistent tangent action via linearization at delta
                     _, jvp = jax.linearize(rhs_fn, c.delta)
 

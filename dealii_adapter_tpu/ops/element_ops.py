@@ -123,7 +123,14 @@ class AssembledOperator:
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
         n_cells, npc = self.cells.shape
         ucell = u[self.cells].reshape(n_cells, npc * self.dim)
-        rcell = jnp.dot(ucell, self.E, preferred_element_type=ucell.dtype)
+        # "highest": true-f32 products (TPU default is one bf16 MXU pass,
+        # too coarse for a Krylov operator); f64 follows the backend's own
+        # emulation path untouched
+        prec = "highest" if ucell.dtype == jnp.float32 else None
+        rcell = jnp.dot(
+            ucell, self.E,
+            preferred_element_type=ucell.dtype, precision=prec,
+        )
         return apply_plan(rcell.reshape(n_cells * npc, self.dim), self.plan)
 
     def diagonal(self) -> jnp.ndarray:

@@ -234,44 +234,65 @@ def overlap_add_T(rt: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray:
 @dataclasses.dataclass(frozen=True)
 class StructuredOperator:
     """Drop-in replacement for `AssembledOperator` (same call surface) with
-    the gather-free formulation. Requires p == 1 interior padding to be
-    valid, i.e. works for any degree >= 1."""
+    the gather-free formulation, in TPU layout: patches are held as
+    (dim, npc, n_cells) with the huge cell axis trailing, and the element
+    matrix is applied as one (edofs, edofs) @ (edofs, n_cells) MXU matmul.
+    `EpT` is the element matrix transposed AND permuted to component-major
+    dof order (index = d * npc + n) so the patch tensor flattens into the
+    matmul operand with zero data movement. Requires p >= 1 (any degree)."""
 
-    E: jnp.ndarray  # (edofs, edofs)
+    EpT: jnp.ndarray  # (edofs, edofs), component-major rows/cols
     dim: int
     p: int
     reps_rev: Tuple[int, ...]
     grid_shape: Tuple[int, ...]
+    # f32 matmuls on TPU default to one bf16 MXU pass (~3e-3 relative
+    # error) — "highest" forces true-f32 products. Krylov operators need it
+    # (a CG operator at bf16 precision caps the attainable residual);
+    # preconditioner-internal ops (MG smoothing) pass "default" for speed.
+    precision: str = "highest"
 
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
-        n_nodes = u.shape[0]
-        u_grid = u.reshape(self.grid_shape + (self.dim,))
-        ucell = extract_cell_patches(u_grid, self.p, self.reps_rev)
-        n_cells, npc, dim = ucell.shape
+        dim = self.dim
+        edofs = self.EpT.shape[0]
+        u_grid = u.reshape(self.grid_shape + (dim,))
+        ut = extract_cell_patches_T(u_grid, self.p, self.reps_rev)
+        _, npc, n_cells = ut.shape
+        # the precision override only applies to f32 (f64 matmuls follow the
+        # backend's emulation path; forcing a precision there can break or
+        # slow the experimental TPU f64 pipeline)
+        prec = self.precision if ut.dtype == jnp.float32 else None
         r = jnp.dot(
-            ucell.reshape(n_cells, npc * dim),
-            self.E,
-            preferred_element_type=ucell.dtype,
-        ).reshape(n_cells, npc, dim)
-        out = overlap_add(r, self.p, self.reps_rev, self.grid_shape)
-        return out.reshape(n_nodes, self.dim)
+            self.EpT, ut.reshape(edofs, n_cells),
+            preferred_element_type=ut.dtype,
+            precision=prec,
+        ).reshape(dim, npc, n_cells)
+        out = overlap_add_T(r, self.p, self.reps_rev, self.grid_shape)
+        return out.reshape(-1, dim)
 
     def diagonal(self) -> jnp.ndarray:
-        npc = self.E.shape[0] // self.dim
+        npc = self.EpT.shape[0] // self.dim
         n_cells = int(np.prod(self.reps_rev))
-        d = jnp.diag(self.E).reshape(npc, self.dim)
-        dcell = jnp.broadcast_to(d, (n_cells, npc, self.dim))
-        out = overlap_add(dcell, self.p, self.reps_rev, self.grid_shape)
+        d = jnp.diag(self.EpT).reshape(self.dim, npc)
+        dcell = jnp.broadcast_to(d[:, :, None], (self.dim, npc, n_cells))
+        out = overlap_add_T(dcell, self.p, self.reps_rev, self.grid_shape)
         return out.reshape(-1, self.dim)
 
 
 def make_structured_operator(
-    space: DofSpace, E: np.ndarray, dtype=jnp.float64
+    space: DofSpace, E: np.ndarray, dtype=jnp.float64, precision: str = "highest"
 ) -> StructuredOperator:
+    dim = space.dim
+    npc = E.shape[0] // dim
+    # node-major (n*dim + d) -> component-major (d*npc + n) permutation
+    jidx = np.arange(dim * npc)
+    jidx = (jidx % npc) * dim + (jidx // npc)
+    Ep = np.asarray(E)[np.ix_(jidx, jidx)]
     return StructuredOperator(
-        E=jnp.asarray(E, dtype=dtype),
-        dim=space.dim,
+        EpT=jnp.asarray(Ep.T, dtype=dtype),
+        dim=dim,
         p=space.mesh.degree,
         reps_rev=_cells_shape(space),
         grid_shape=_grid_shape(space),
+        precision=precision,
     )

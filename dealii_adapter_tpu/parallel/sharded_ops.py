@@ -103,7 +103,14 @@ class ShardedOperator:
         def matvec_kernel(u, cells):
             cpd, npc = cells.shape
             ucell = u[cells].reshape(cpd, npc * dim)
-            r = jnp.dot(ucell, E, preferred_element_type=ucell.dtype)
+            # "highest": true-f32 products (TPU default is one bf16 MXU
+            # pass, too coarse for a Krylov operator); f64 follows the
+            # backend's own emulation path untouched
+            prec = "highest" if ucell.dtype == jnp.float32 else None
+            r = jnp.dot(
+                ucell, E,
+                preferred_element_type=ucell.dtype, precision=prec,
+            )
             return r.reshape(cpd * npc, dim)
 
         def diag_kernel(u, cells):

@@ -194,7 +194,11 @@ class GeometricMultigrid:
             elem = ElementMatrices(space_c, lmbda, mu, mass_coeff)
             E_c = elem.K_e + elem.M_e  # M_e built with rho=mass_coeff
             mask_c = jnp.asarray(_boundary_mask(m_c, tags), dtype=dtype)
-            op_c_raw = make_structured_operator(space_c, E_c, dtype)
+            # preconditioner-internal op: default (fast bf16-pass) precision
+            # suffices inside the V-cycle smoother
+            op_c_raw = make_structured_operator(
+                space_c, E_c, dtype, precision="default"
+            )
 
             def masked(op, mk):
                 def apply(v):

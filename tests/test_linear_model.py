@@ -181,3 +181,22 @@ def test_fsi3_scenario_runs():
     assert bool(info.residual < 1e-10) or int(info.iterations) > 0
     tip = np.argmax(solver.mesh.nodes[:, 0])
     assert abs(float(state.displacement[tip, 1])) > 0
+
+
+def test_mixed_precision_ir_cg_matches_f64():
+    """solve_dtype=float32 (f32 CG inside f64 iterative refinement) meets
+    the reference's absolute 1e-10 residual contract and reproduces the
+    all-f64 trajectory."""
+    traj = {}
+    for sdt, precond in (("", "MG"), ("float32", "MG"), ("float32", "Jacobi")):
+        m = make_solver(preconditioner=precond, solve_dtype=sdt)
+        state = m.initial_state()
+        for _ in range(5):
+            state, info = m.step(state, uniform_traction(m, [2000.0, 0.0]))
+            # the true f64 residual passed the absolute tolerance
+            assert float(info.residual) <= 1e-10, (sdt, precond)
+        traj[(sdt, precond)] = np.asarray(state.displacement)
+    ref = traj[("", "MG")]
+    for key in (("float32", "MG"), ("float32", "Jacobi")):
+        err = np.linalg.norm(traj[key] - ref) / np.linalg.norm(ref)
+        assert err < 1e-9, (key, err)

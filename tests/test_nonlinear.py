@@ -303,3 +303,25 @@ def test_dynamic_small_amplitude_matches_linear_model():
     ref = np.max(np.abs(d_li))
     assert ref > 0
     assert np.max(np.abs(d_nl - d_li)) < 5e-3 * ref
+
+
+def test_mixed_precision_tangent_matches_f64():
+    """solve_dtype=float32 (inexact Newton: f32 inner Krylov, f64
+    residual/state) converges to the same solution as the all-f64 solve,
+    with at most one extra Newton iteration."""
+    results = {}
+    for tdt, precond in (("", "MG"), ("float32", "MG"), ("float32", "Jacobi")):
+        m = make_solver(preconditioner=precond, solve_dtype=tdt)
+        st, info = m.step(m.initial_state(), interface_stress(m, [5000.0, 0.0]))
+        assert bool(info.converged), (tdt, precond)
+        results[(tdt, precond)] = (
+            np.asarray(st.displacement),
+            int(info.iterations),
+        )
+    ref, ref_its = results[("", "MG")]
+    for key in (("float32", "MG"), ("float32", "Jacobi")):
+        mix, mix_its = results[key]
+        # both residuals pass tol_f in f64; the solutions agree to (well
+        # within) the 1e-6 relative Newton update tolerance
+        assert np.linalg.norm(mix - ref) <= 1e-6 * np.linalg.norm(ref), key
+        assert abs(mix_its - ref_its) <= 1, key

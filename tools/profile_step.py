@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Component-level timing of the nonlinear Newmark step at bench scale.
+
+Times each building block of the hot path separately (all jitted, warm):
+f64 residual, f32 tangent action, MG V-cycle, a fixed-iteration CG — to
+show where a step's wall time goes on the actual device. Usage:
+
+    python tools/profile_step.py [scale]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dealii_adapter_tpu  # noqa: F401  (x64 config)
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    from bench import build_model
+
+    model = build_model(scale, "float64", 2)
+    space = model.space
+    print(f"n_dofs={space.n_dofs}, platform={jax.devices()[0].platform}")
+
+    state = model.initial_state()
+    stress_np = np.zeros((space.n_nodes, 3))
+    stress_np[space.boundary_nodes[model.interface_id], 0] = 1000.0
+    stress = jnp.asarray(stress_np, dtype=model.dtype)
+
+    # f64 residual
+    res_fn = jax.jit(lambda d: model.residual(d, state, stress)[0])
+    zero = jnp.zeros((space.n_nodes, space.dim), dtype=model.dtype)
+    t = timeit(res_fn, zero)
+    print(f"f64 residual eval:        {t*1e3:9.2f} ms")
+
+    # f32 tangent action (linearize once per Newton it, jvp per CG it)
+    tdt = model.solve_dtype
+    u_t = state.displacement.astype(tdt)
+    v32 = jnp.ones((space.n_nodes, space.dim), dtype=tdt)
+
+    lin_fn = jax.jit(lambda u: jax.linearize(model._int_force_t, u)[0])
+    t = timeit(lin_fn, u_t)
+    print(f"linearize primal (f32):   {t*1e3:9.2f} ms")
+
+    def tangent_apply(u, v):
+        _, jvp = jax.linearize(model._int_force_t, u)
+        return jvp(v)
+
+    tangent_jit = jax.jit(tangent_apply)
+    t = timeit(tangent_jit, u_t, v32)
+    print(f"linearize + 1 jvp (f32):  {t*1e3:9.2f} ms")
+
+    def tangent_apply8(u, v):
+        _, jvp = jax.linearize(model._int_force_t, u)
+        for _ in range(8):
+            v = jvp(v)
+        return v
+
+    t8 = timeit(jax.jit(tangent_apply8), u_t, v32)
+    print(f"  -> marginal jvp:        {(t8 - t)/7*1e3:9.2f} ms")
+
+    # mass op f32
+    if model.M_t is not None:
+        t = timeit(jax.jit(lambda v: model.M_t(v)), v32)
+        print(f"mass matvec (f32):        {t*1e3:9.2f} ms")
+
+    # MG V-cycle
+    if model._precond is not None:
+        t = timeit(jax.jit(lambda r: model._precond(r)), v32)
+        print(f"MG V-cycle (precond):     {t*1e3:9.2f} ms")
+
+    # fixed 10-iteration CG on the constant mass-proxy operator (isolates
+    # CG-loop overhead from operator cost)
+    from dealii_adapter_tpu.solvers.cg import cg_solve
+
+    def cg10(b):
+        return cg_solve(
+            lambda v: model.M_t(v) if model.M_t is not None else v,
+            b, jnp.zeros_like(b), tol=0.0, max_iter=10,
+        ).x
+
+    t = timeit(jax.jit(cg10), v32)
+    print(f"10-it CG on mass (f32):   {t*1e3:9.2f} ms")
+
+    # one full step for reference
+    t = timeit(lambda: model.step(state, stress), n=2)
+    print(f"full Newmark step:        {t*1e3:9.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
