@@ -167,5 +167,28 @@ def main():
     )
 
 
+def _main_with_retry():
+    """The axon-tunneled TPU occasionally drops an execution with
+    UNAVAILABLE ('TPU worker process crashed or restarted'); the device
+    recovers but the jax client process does not. Re-exec the bench in a
+    fresh subprocess up to 2 times on that failure mode."""
+    import subprocess
+
+    if os.environ.get("BENCH_NO_RETRY"):
+        main()
+        return
+    env = dict(os.environ, BENCH_NO_RETRY="1")
+    last = 1
+    for attempt in range(3):
+        if attempt:
+            print(f"bench: retry {attempt} after device fault", file=sys.stderr)
+            time.sleep(20)
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        last = proc.returncode
+        if last == 0:
+            return
+    sys.exit(last)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

@@ -106,6 +106,13 @@ class AllParameters(
     preconditioner: str = "Jacobi"  # "Jacobi" | "Chebyshev" | "MG" | "None"
     cheb_degree: int = 4
     cheb_eig_ratio: float = 30.0
+    mg_smooth_degree: int = 2  # Chebyshev smoothing steps per MG level visit
+    mg_coarse_size: int = 4000  # dense-solve threshold (DoFs) for the MG base
+    # True (default): FEM-SEM first coarse level (Q1 on the same node
+    # lattice). Measured on the 3D flap tangent: 188 CG its/step vs 322 for
+    # combined p+h coarsening — the cheaper cycles do not pay for the lost
+    # contraction. False: p+h coarsening (Q1 at half resolution).
+    mg_fem_sem: bool = True
     # dtype of the MG preconditioner hierarchy ("" = follow the linear-solve
     # dtype); "float32" gives the mixed-precision f32-V-cycle-in-f64-CG scheme
     precond_dtype: str = ""

@@ -196,6 +196,9 @@ class LinearElastodynamics:
                 fine_op, diag.astype(pdt), fmask,
                 lmbda=c * params.lmbda, mu=c * params.mu,
                 mass_coeff=params.rho, dtype=pdt,
+                smooth_degree=params.mg_smooth_degree,
+                coarse_size=params.mg_coarse_size,
+                fem_sem=params.mg_fem_sem,
             )
         elif params.preconditioner == "None":
             self._precond = None

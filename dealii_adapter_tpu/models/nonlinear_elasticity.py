@@ -412,6 +412,9 @@ class NonlinearElasticity:
                 self.mesh, self.tags, proxy_bc, diag.astype(pdt), fmask,
                 lmbda=lam_eff, mu=params.mu,
                 mass_coeff=a1 * params.rho, dtype=pdt,
+                smooth_degree=params.mg_smooth_degree,
+                coarse_size=params.mg_coarse_size,
+                fem_sem=params.mg_fem_sem,
             )
         elif params.preconditioner == "None":
             self._precond = None

@@ -90,15 +90,17 @@ class MGLevel:
     coarse_solve: Optional[Callable] = None  # only on the coarsest level
 
 
-def _chebyshev_smooth(level: MGLevel, b, x, degree: int):
+def _chebyshev_smooth(level: MGLevel, b, x, degree: int, x_is_zero=False):
     """`degree` Chebyshev iterations targeting [lam_max/4, lam_max] of the
-    Jacobi-scaled operator — damps the upper half-spectrum each visit."""
+    Jacobi-scaled operator — damps the upper half-spectrum each visit.
+    `x_is_zero=True` skips the initial residual operator apply (resid = b),
+    saving one matvec on every pre-smooth."""
     inv = 1.0 / level.diag
     lmax = level.lam_max * 1.05
     lmin = level.lam_max / 4.0
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
-    resid = b - level.operator(x)
+    resid = b if x_is_zero else b - level.operator(x)
     d = (1.0 / theta) * (inv * resid)
     sigma = theta / delta
     rho = 1.0 / sigma
@@ -133,6 +135,7 @@ class GeometricMultigrid:
         coarse_size: int = 4000,
         dtype=jnp.float64,
         fine_lam_max: Optional[float] = None,
+        fem_sem: bool = True,
     ):
         """`fine_operator` must already be BC-masked (identity on
         constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
@@ -170,11 +173,20 @@ class GeometricMultigrid:
         meshes = []
         reps = mesh.reps
         if mesh.degree > 1:
-            # FEM-SEM low-order level: Q1 on a lattice with the SAME node
-            # count as the Q_p space (spectrally equivalent, Orszag '80) —
-            # the 0->1 transfer is then near-identity interpolation instead
-            # of a lossy projection onto a p-times-coarser space
-            reps = tuple(r * mesh.degree for r in reps)
+            if fem_sem:
+                # FEM-SEM low-order level: Q1 on a lattice with the SAME
+                # node count as the Q_p space (spectrally equivalent,
+                # Orszag '80) — near-identity 0->1 transfer, but the level
+                # costs MORE per matvec than the fine Q_p level (one Q1
+                # cell per fine node), so it roughly doubles V-cycle time
+                reps = tuple(r * mesh.degree for r in reps)
+            else:
+                # combined p+h coarsening (deal.II hybrid-MG style): first
+                # coarse level is Q1 at half the fine node resolution —
+                # slightly weaker two-level rate, ~2x cheaper V-cycle
+                reps = tuple(
+                    max(1, (r * mesh.degree + 1) // 2) for r in reps
+                )
             meshes.append(
                 subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1)
             )
@@ -288,9 +300,12 @@ class GeometricMultigrid:
             return lv.coarse_solve(b)
         if li == len(self.levels) - 1:  # coarsest without factorization
             return _chebyshev_smooth(
-                lv, b, jnp.zeros_like(b), self.smooth_degree * 2
+                lv, b, jnp.zeros_like(b), self.smooth_degree * 2,
+                x_is_zero=True,
             )
-        x = _chebyshev_smooth(lv, b, jnp.zeros_like(b), self.smooth_degree)
+        x = _chebyshev_smooth(
+            lv, b, jnp.zeros_like(b), self.smooth_degree, x_is_zero=True
+        )
         r = b - lv.operator(x)
         ec = self._vcycle(li + 1, self._restrict(li, r))
         x = x + self._prolong(li, ec)

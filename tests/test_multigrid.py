@@ -19,7 +19,7 @@ LMBDA = 2 * MU * NU / (1 - 2 * NU)
 C = (0.5 * 0.01) ** 2  # (theta dt)^2
 
 
-def _setup(degree, scale, dim=2):
+def _setup(degree, scale, dim=2, **mg_kw):
     mesh, tags = make_scenario_grid("PF", dim, degree, scale=scale, solver="linear")
     space = DofSpace.create(mesh)
     elem = ElementMatrices(space, LMBDA, MU, RHO)
@@ -32,7 +32,7 @@ def _setup(degree, scale, dim=2):
 
     diag = mask * jnp.asarray(assemble_diagonal(space, A_e)) + (1 - mask)
     mg = GeometricMultigrid(
-        mesh, tags, A, diag, mask, C * LMBDA, C * MU, mass_coeff=RHO
+        mesh, tags, A, diag, mask, C * LMBDA, C * MU, mass_coeff=RHO, **mg_kw
     )
     return space, A, diag, mask, mg
 
@@ -73,10 +73,12 @@ def test_mg_matches_jacobi_solution():
     )
 
 
-def test_mg_vcycle_contracts():
+@pytest.mark.parametrize("fem_sem,bound", [(True, 1e-2), (False, 8e-2)])
+def test_mg_vcycle_contracts(fem_sem, bound):
     """The raw V-cycle must converge as a stationary iteration (this is
-    the property the boundary-id fix restored)."""
-    space, A, diag, mask, mg = _setup(2, 4)
+    the property the boundary-id fix restored). FEM-SEM coarsening
+    contracts ~0.4/cycle; the cheaper p+h coarsening ~0.55/cycle."""
+    space, A, diag, mask, mg = _setup(2, 4, fem_sem=fem_sem)
     b = mask * jnp.asarray(
         np.random.default_rng(2).standard_normal((space.n_nodes, 2))
     )
@@ -84,8 +86,7 @@ def test_mg_vcycle_contracts():
     r0 = float(jnp.linalg.norm(b))
     for _ in range(6):
         x = x + mg(b - A(x))
-    # contraction factor ~0.4/cycle for p=2 => ~4e-3 after 6 cycles
-    assert float(jnp.linalg.norm(b - A(x))) / r0 < 1e-2
+    assert float(jnp.linalg.norm(b - A(x))) / r0 < bound
 
 
 def test_mg_3d():

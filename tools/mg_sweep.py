@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Sweep MG smoothing degree / preconditioner variants on the nonlinear
+tangent at a given scale; reports total CG iterations and step wall time.
+
+    python tools/mg_sweep.py [scale] [variant ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dealii_adapter_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_variant(scale, **overrides):
+    from dealii_adapter_tpu.config import AllParameters
+    from dealii_adapter_tpu.mesh.generator import make_scenario_grid
+    from dealii_adapter_tpu.models.nonlinear_elasticity import NonlinearElasticity
+
+    kw = dict(
+        model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,
+        poly_degree=2, delta_t=0.01, mu=0.5e6, nu=0.4, rho=1000.0,
+        tol_lin=1e-6, tol_u=1e-6, tol_f=1e-9, max_iterations_NR=10,
+        max_iterations_lin=1.0, dtype="float64",
+        preconditioner="MG", precond_dtype="float32", solve_dtype="float32",
+    )
+    kw.update(overrides)
+    params = AllParameters(**kw)
+    mesh, tags = make_scenario_grid("PF", 3, kw["poly_degree"], scale=scale,
+                                    solver="neo-Hookean")
+    model = NonlinearElasticity(params, mesh=mesh, tags=tags)
+
+    stress_np = np.zeros((model.space.n_nodes, 3))
+    stress_np[model.space.boundary_nodes[model.interface_id], 0] = 1000.0
+    stress = jnp.asarray(stress_np, dtype=model.dtype)
+    state = model.initial_state()
+    state, info = model.step(state, stress)  # warmup/compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state2, info2 = model.step(state, stress)
+    jax.block_until_ready(state2)
+    dt_s = time.perf_counter() - t0
+    return dict(
+        newton=int(info2.iterations), cg=int(info2.cg_iterations),
+        converged=bool(info2.converged), seconds=round(dt_s, 3),
+    )
+
+
+VARIANTS = {
+    "mg2": dict(mg_smooth_degree=2),
+    "mg2sem": dict(mg_smooth_degree=2, mg_fem_sem=True),
+    "mg3sem": dict(mg_smooth_degree=3, mg_fem_sem=True),
+    "mg3": dict(mg_smooth_degree=3),
+    "mg4": dict(mg_smooth_degree=4),
+    "mg2c20k": dict(mg_smooth_degree=2, mg_coarse_size=20000),
+    "cheb": dict(preconditioner="Chebyshev", cheb_degree=4),
+    "jac": dict(preconditioner="Jacobi"),
+}
+
+
+def main():
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    names = sys.argv[2:] or ["mg2", "mg3", "mg4"]
+    for name in names:
+        try:
+            r = run_variant(scale, **VARIANTS[name])
+            print(f"{name:10s} scale={scale}: {r}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:10s} scale={scale}: FAILED {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
