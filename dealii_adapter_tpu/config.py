@@ -123,6 +123,12 @@ class AllParameters(
     # absolute 1e-10 contract. The idiomatic choice on TPU generations
     # without native f64 (v5e emulates f64 at a large slowdown).
     solve_dtype: str = ""
+    # Newton-Krylov forcing term: "fixed" mirrors the reference (every CG
+    # solve to tol_lin * ||R||, `nonlinear_elasticity.cc:1171-1172`); "ew"
+    # uses Eisenstat-Walker choice-2 adaptive tolerances (loose early
+    # solves, tight only near convergence) — same tol_u/tol_f convergence
+    # contract, substantially fewer total CG iterations
+    newton_forcing: str = "fixed"  # "fixed" | "ew"
     # element gather/scatter formulation: "structured" = gather-free strided
     # patches + overlap-add (single-device), "gather" = transpose-gather
     # plans (required for sharding), "auto" = structured unless sharded

@@ -572,6 +572,23 @@ class NonlinearElasticity:
                     ),
                 )
 
+                def cg_tolerance():
+                    """Absolute CG tolerance for this Newton iteration."""
+                    if params.newton_forcing == "ew":
+                        # Eisenstat-Walker choice 2 (gamma=0.9, alpha=2):
+                        # eta_k = 0.9 (||R_k||/||R_{k-1}||)^2, clipped; the
+                        # 0.5*T floor stops over-solving once the linear
+                        # residual is already below half the Newton target
+                        ratio = res_abs / c.res_abs
+                        eta = jnp.where(
+                            c.it == 0,
+                            jnp.asarray(0.1, self.dtype),
+                            jnp.clip(0.9 * ratio * ratio, 1e-4, 0.5),
+                        )
+                        T = jnp.maximum(tol_f * res0, 5e-9)
+                        return jnp.maximum(eta * res_abs, 0.5 * T)
+                    return params.tol_lin * res_abs  # `:1171-1172`
+
                 def do_solve(_):
                     if use_cg and self._mixed_tangent:
                         # inexact Newton: tangent action linearized from the
@@ -593,7 +610,7 @@ class NonlinearElasticity:
                                 Kv = Kv + a1_t * self.M_t(mv)
                             return mask_t * Kv + (1.0 - mask_t) * v
 
-                        tol = (params.tol_lin * res_abs).astype(tdtype)
+                        tol = cg_tolerance().astype(tdtype)
                         r = cg_solve(
                             K32, rhs.astype(tdtype),
                             jnp.zeros((n_nodes, dim), dtype=tdtype),
@@ -608,9 +625,8 @@ class NonlinearElasticity:
                         return mask * (-jvp(mask * v)) + (1.0 - mask) * v
 
                     if use_cg:
-                        tol = params.tol_lin * res_abs  # `:1171-1172`
-                        r = cg_solve(K, rhs, zero, tol=tol, max_iter=max_cg,
-                                     preconditioner=precond)
+                        r = cg_solve(K, rhs, zero, tol=cg_tolerance(),
+                                     max_iter=max_cg, preconditioner=precond)
                         return r.x, r.iterations
                     # dense direct: materialize the tangent (small cases only)
                     basis = jnp.eye(n_nodes * dim, dtype=self.dtype)

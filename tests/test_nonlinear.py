@@ -325,3 +325,19 @@ def test_mixed_precision_tangent_matches_f64():
         # within) the 1e-6 relative Newton update tolerance
         assert np.linalg.norm(mix - ref) <= 1e-6 * np.linalg.norm(ref), key
         assert abs(mix_its - ref_its) <= 1, key
+
+
+def test_eisenstat_walker_forcing_matches_fixed():
+    """newton_forcing='ew' meets the same tol_u/tol_f contract with fewer
+    total CG iterations; solutions agree to the Newton tolerance."""
+    out = {}
+    for forcing in ("fixed", "ew"):
+        m = make_solver(preconditioner="MG", newton_forcing=forcing)
+        st, info = m.step(m.initial_state(), interface_stress(m, [5000.0, 0.0]))
+        assert bool(info.converged), forcing
+        assert float(info.residual_rel) <= 1e-9 or float(info.residual_abs) <= 5e-9
+        out[forcing] = (np.asarray(st.displacement), int(info.cg_iterations))
+    ref, ref_cg = out["fixed"]
+    ew, ew_cg = out["ew"]
+    assert np.linalg.norm(ew - ref) <= 1e-6 * np.linalg.norm(ref)
+    assert ew_cg < ref_cg, (ew_cg, ref_cg)
