@@ -44,9 +44,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         max_iterations_lin=1.0,
         dtype=dtype,
         preconditioner=os.environ.get("BENCH_PRECOND", "MG"),
-        # f32 V-cycle inside f64 CG: bulk flops at native v5e f32 speed,
-        # measured identical outer iteration counts/solutions
-        precond_dtype=os.environ.get("BENCH_PRECOND_DTYPE", "float32"),
+        # bf16 V-cycle inside the f32 tangent CG: measured identical outer
+        # iteration counts/solutions vs f32/f64 hierarchies, less HBM traffic
+        precond_dtype=os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16"),
         # inexact Newton: the whole inner Krylov solve in f32, residual and
         # state in f64 (v5e emulates f64; see config.solve_dtype)
         solve_dtype=os.environ.get("BENCH_SOLVE_DTYPE", "float32"),

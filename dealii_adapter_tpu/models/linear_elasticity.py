@@ -181,7 +181,9 @@ class LinearElastodynamics:
             from ..solvers.multigrid import GeometricMultigrid
 
             c = (theta * dt) ** 2
-            pdt = jnp.float32 if params.precond_dtype == "float32" else sdt
+            pdt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
+                params.precond_dtype, sdt
+            )
             # preconditioner-internal: fast default precision
             A_p = make_structured_operator(
                 self.space, A_e, pdt, precision="default"
@@ -199,6 +201,7 @@ class LinearElastodynamics:
                 smooth_degree=params.mg_smooth_degree,
                 coarse_size=params.mg_coarse_size,
                 fem_sem=params.mg_fem_sem,
+                use_pallas=params.use_pallas,
             )
         elif params.preconditioner == "None":
             self._precond = None

@@ -398,7 +398,9 @@ class NonlinearElasticity:
             from ..ops.structured import make_structured_operator
             from ..solvers.multigrid import GeometricMultigrid
 
-            pdt = jnp.float32 if params.precond_dtype == "float32" else sdt
+            pdt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
+                params.precond_dtype, sdt
+            )
             # preconditioner-internal: fast default precision
             proxy = make_structured_operator(
                 space, Ke_precond, pdt, precision="default"
@@ -415,6 +417,7 @@ class NonlinearElasticity:
                 smooth_degree=params.mg_smooth_degree,
                 coarse_size=params.mg_coarse_size,
                 fem_sem=params.mg_fem_sem,
+                use_pallas=params.use_pallas,
             )
         elif params.preconditioner == "None":
             self._precond = None

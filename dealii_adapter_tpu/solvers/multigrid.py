@@ -136,6 +136,7 @@ class GeometricMultigrid:
         dtype=jnp.float64,
         fine_lam_max: Optional[float] = None,
         fem_sem: bool = True,
+        use_pallas: bool = False,
     ):
         """`fine_operator` must already be BC-masked (identity on
         constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
@@ -207,10 +208,21 @@ class GeometricMultigrid:
             E_c = elem.K_e + elem.M_e  # M_e built with rho=mass_coeff
             mask_c = jnp.asarray(_boundary_mask(m_c, tags), dtype=dtype)
             # preconditioner-internal op: default (fast bf16-pass) precision
-            # suffices inside the V-cycle smoother
-            op_c_raw = make_structured_operator(
-                space_c, E_c, dtype, precision="default"
-            )
+            # suffices inside the V-cycle smoother; the fused Pallas Q1
+            # kernel is opt-in (measured at parity with the XLA
+            # formulation on v5e — kept as a backend for other gens)
+            if use_pallas:
+                from ..ops.pallas_structured import (
+                    make_structured_operator_auto,
+                )
+
+                op_c_raw = make_structured_operator_auto(
+                    space_c, E_c, dtype, precision="default"
+                )
+            else:
+                op_c_raw = make_structured_operator(
+                    space_c, E_c, dtype, precision="default"
+                )
 
             def masked(op, mk):
                 def apply(v):
@@ -247,19 +259,22 @@ class GeometricMultigrid:
                     A_dense, np.diag(A_dense) + (1.0 - flat_mask)
                 )
                 L = np.linalg.cholesky(A_dense)
-                L_d = jnp.asarray(L, dtype=dtype)
+                # the triangular substitutions stay f32 even for a bf16
+                # hierarchy: sequential substitution amplifies rounding
+                cdt = jnp.float32 if dtype == jnp.bfloat16 else dtype
+                L_d = jnp.asarray(L, dtype=cdt)
                 # separate device constant: lets XLA keep both triangles
                 # without constant-folding a transpose at every compile
-                LT_d = jnp.asarray(L.T.copy(), dtype=dtype)
+                LT_d = jnp.asarray(L.T.copy(), dtype=cdt)
 
                 def coarse_solve(b, L_d=L_d, LT_d=LT_d, n=space_c.n_nodes):
                     y = jax.scipy.linalg.solve_triangular(
-                        L_d, b.reshape(-1), lower=True
+                        L_d, b.reshape(-1).astype(L_d.dtype), lower=True
                     )
                     z = jax.scipy.linalg.solve_triangular(
                         LT_d, y, lower=False
                     )
-                    return z.reshape(n, dim)
+                    return z.astype(b.dtype).reshape(n, dim)
 
             levels.append(
                 MGLevel(

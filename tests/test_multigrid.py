@@ -99,9 +99,9 @@ def test_mg_3d():
 
 
 def test_mixed_precision_mg_matches_f64():
-    """f32 V-cycle inside f64 CG: same iteration counts, same solution."""
+    """f32/bf16 V-cycle inside f64 CG: same solutions, comparable counts."""
     results = {}
-    for pdtype in ("", "float32"):
+    for pdtype in ("", "float32", "bfloat16"):
         p = AllParameters(
             model="neo-Hookean", type_lin="CG", scenario="PF", delta_t=0.01,
             poly_degree=2, mu=MU, nu=NU, rho=RHO,
@@ -116,6 +116,12 @@ def test_mixed_precision_mg_matches_f64():
         results["float32"][0], results[""][0], rtol=1e-7, atol=1e-12
     )
     assert abs(results["float32"][1] - results[""][1]) <= 5
+    # a bf16 V-cycle is a weaker but still SPD preconditioner: identical
+    # converged solution (Newton verifies in f64), bounded iteration growth
+    np.testing.assert_allclose(
+        results["bfloat16"][0], results[""][0], rtol=1e-7, atol=1e-12
+    )
+    assert results["bfloat16"][1] <= 2 * results[""][1]
 
 
 def test_nonlinear_model_with_mg():
