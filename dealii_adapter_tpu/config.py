@@ -113,6 +113,10 @@ class AllParameters(
     # combined p+h coarsening — the cheaper cycles do not pay for the lost
     # contraction. False: p+h coarsening (Q1 at half resolution).
     mg_fem_sem: bool = True
+    # skip fine-level smoothing and precondition purely through the
+    # same-resolution Q1 (FEM-SEM) hierarchy — removes every Q_p operator
+    # apply from the V-cycle
+    mg_skip_fine_smoothing: bool = False
     # dtype of the MG preconditioner hierarchy ("" = follow the linear-solve
     # dtype); "float32" gives the mixed-precision f32-V-cycle-in-f64-CG scheme
     precond_dtype: str = ""

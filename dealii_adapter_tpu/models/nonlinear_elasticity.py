@@ -418,6 +418,7 @@ class NonlinearElasticity:
                 coarse_size=params.mg_coarse_size,
                 fem_sem=params.mg_fem_sem,
                 use_pallas=params.use_pallas,
+                skip_fine_smoothing=params.mg_skip_fine_smoothing,
             )
         elif params.preconditioner == "None":
             self._precond = None

@@ -137,6 +137,7 @@ class GeometricMultigrid:
         fine_lam_max: Optional[float] = None,
         fem_sem: bool = True,
         use_pallas: bool = False,
+        skip_fine_smoothing: bool = False,
     ):
         """`fine_operator` must already be BC-masked (identity on
         constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
@@ -145,6 +146,14 @@ class GeometricMultigrid:
         operators include the same reaction term."""
         self.dtype = dtype
         self.smooth_degree = smooth_degree
+        # classic FEM-SEM preconditioning: with a same-resolution Q1 first
+        # coarse level, fine-level smoothing is spectrally redundant — the
+        # Q1 level can smooth the whole upper spectrum. Skipping the fine
+        # smoother removes all Q_p operator applies from the V-cycle
+        # (P^T M_sem P stays SPD, so CG remains valid).
+        self.skip_fine_smoothing = skip_fine_smoothing and fem_sem and (
+            mesh.degree > 1
+        )
         dim = mesh.dim
 
         levels: List[MGLevel] = []
@@ -311,6 +320,8 @@ class GeometricMultigrid:
 
     def _vcycle(self, li: int, b):
         lv = self.levels[li]
+        if li == 0 and self.skip_fine_smoothing:
+            return self._prolong(0, self._vcycle(1, self._restrict(0, b)))
         if lv.coarse_solve is not None:
             return lv.coarse_solve(b)
         if li == len(self.levels) - 1:  # coarsest without factorization

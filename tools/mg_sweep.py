@@ -54,6 +54,9 @@ def run_variant(scale, **overrides):
 VARIANTS = {
     "mg2": dict(mg_smooth_degree=2),
     "ew": dict(newton_forcing="ew"),
+    "ew3skip": dict(newton_forcing="ew", mg_smooth_degree=3, mg_skip_fine_smoothing=True),
+    "ew3skipbf": dict(newton_forcing="ew", mg_smooth_degree=3, mg_skip_fine_smoothing=True, precond_dtype="bfloat16"),
+    "ew4skip": dict(newton_forcing="ew", mg_smooth_degree=4, mg_skip_fine_smoothing=True),
     "ew3bf16": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16"),
     "ew3": dict(newton_forcing="ew", mg_smooth_degree=3),
     "mg2sem": dict(mg_smooth_degree=2, mg_fem_sem=True),
