@@ -133,6 +133,11 @@ class AllParameters(
     # solves, tight only near convergence) — same tol_u/tol_f convergence
     # contract, substantially fewer total CG iterations
     newton_forcing: str = "fixed"  # "fixed" | "ew"
+    ew_eta0: float = 0.1  # first-iteration forcing term for "ew"
+    # start Newton from the constant-acceleration Newmark predictor
+    # delta0 = dt v_n + dt^2/2 a_n instead of the reference's delta0 = 0 —
+    # same convergence contract, fewer iterations for smooth dynamics
+    newton_predictor: bool = False
     # element gather/scatter formulation: "structured" = gather-free strided
     # patches + overlap-add (single-device), "gather" = transpose-gather
     # plans (required for sharding), "auto" = structured unless sharded

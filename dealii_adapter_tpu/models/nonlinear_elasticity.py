@@ -586,7 +586,7 @@ class NonlinearElasticity:
                         ratio = res_abs / c.res_abs
                         eta = jnp.where(
                             c.it == 0,
-                            jnp.asarray(0.1, self.dtype),
+                            jnp.asarray(params.ew_eta0, self.dtype),
                             jnp.clip(0.9 * ratio * ratio, 1e-4, 0.5),
                         )
                         T = jnp.maximum(tol_f * res0, 5e-9)
@@ -667,8 +667,18 @@ class NonlinearElasticity:
                     min_J=jnp.minimum(c.min_J, min_J),
                 )
 
+            if params.newton_predictor and not self.quasi_static:
+                # constant-acceleration Newmark predictor (the reference
+                # zeroes solution_delta every step,
+                # `nonlinear_elasticity.cc:136-137`)
+                delta0 = params.delta_t * state.velocity + (
+                    0.5 * params.delta_t**2
+                ) * state.acceleration
+                delta0 = mask * delta0
+            else:
+                delta0 = zero
             init = Carry(
-                delta=zero,
+                delta=delta0,
                 it=jnp.int32(0),
                 converged=jnp.asarray(False),
                 res0=one,

@@ -341,3 +341,19 @@ def test_eisenstat_walker_forcing_matches_fixed():
     ew, ew_cg = out["ew"]
     assert np.linalg.norm(ew - ref) <= 1e-6 * np.linalg.norm(ref)
     assert ew_cg < ref_cg, (ew_cg, ref_cg)
+
+
+def test_newton_predictor_matches_reference_start():
+    """The Newmark predictor start changes only the iteration path, not the
+    converged trajectory."""
+    traj = {}
+    for pred in (False, True):
+        m = make_solver(preconditioner="MG", newton_forcing="ew",
+                        newton_predictor=pred)
+        state = m.initial_state()
+        for _ in range(4):
+            state, info = m.step(state, interface_stress(m, [5000.0, 0.0]))
+            assert bool(info.converged), pred
+        traj[pred] = np.asarray(state.displacement)
+    err = np.linalg.norm(traj[True] - traj[False])
+    assert err <= 1e-5 * np.linalg.norm(traj[False]), err

@@ -54,6 +54,9 @@ def run_variant(scale, **overrides):
 VARIANTS = {
     "mg2": dict(mg_smooth_degree=2),
     "ew": dict(newton_forcing="ew"),
+    "ew3pred": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", newton_predictor=True),
+    "ew3e03": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", ew_eta0=0.3),
+    "ew3prede03": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True),
     "ew3skip": dict(newton_forcing="ew", mg_smooth_degree=3, mg_skip_fine_smoothing=True),
     "ew3skipbf": dict(newton_forcing="ew", mg_smooth_degree=3, mg_skip_fine_smoothing=True, precond_dtype="bfloat16"),
     "ew4skip": dict(newton_forcing="ew", mg_smooth_degree=4, mg_skip_fine_smoothing=True),
