@@ -48,6 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true",
                    help="print the per-iteration Newton convergence table "
                         "(host callback; CPU platform only)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax profiler trace of the coupled run "
+                        "into DIR (open with TensorBoard / xprof)")
     return p
 
 
@@ -150,8 +153,15 @@ def main(argv=None) -> int:
                 n_out[0] += 1
 
     t0 = _time.perf_counter()
-    with timer.section("Coupled run"):
-        coupled_run(model, adapter, output_cb=output_cb)
+    if args.profile:
+        # device-level tracing around the whole coupled loop — the analog
+        # of the reference's TimerOutput sections, at XLA-op granularity
+        with jax.profiler.trace(args.profile):
+            with timer.section("Coupled run"):
+                coupled_run(model, adapter, output_cb=output_cb)
+    else:
+        with timer.section("Coupled run"):
+            coupled_run(model, adapter, output_cb=output_cb)
     elapsed = _time.perf_counter() - t0
 
     n_steps = round(params.end_time / params.delta_t)
