@@ -46,7 +46,6 @@ import numpy as np
 from ..fem.dofspace import DofSpace
 from .structured import (
     StructuredOperator,
-    _cells_shape,
     _grid_shape,
     make_structured_operator,
 )
