@@ -185,15 +185,25 @@ def _main_with_retry():
         main()
         return
     env = dict(os.environ, BENCH_NO_RETRY="1")
+    transient = ("UNAVAILABLE", "TPU worker", "worker process crashed")
     last = 1
     for attempt in range(3):
         if attempt:
             print(f"bench: retry {attempt} after device fault", file=sys.stderr)
             time.sleep(20)
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        sys.stdout.write(proc.stdout)
+        sys.stdout.flush()
         last = proc.returncode
         if last == 0:
             return
+        blob = proc.stderr + proc.stdout
+        if not any(sig in blob for sig in transient):
+            break  # deterministic failure (OOM, divergence, bad config)
     sys.exit(last)
 
 

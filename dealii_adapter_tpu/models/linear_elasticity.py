@@ -217,6 +217,13 @@ class LinearElastodynamics:
         self._body_vec = jnp.asarray(bf, dtype=self.dtype)
 
         if params.type_lin == "Direct":
+            if self.space.n_dofs > 16384:
+                raise ValueError(
+                    f"type_lin='Direct' assembles the dense "
+                    f"({self.space.n_dofs}, {self.space.n_dofs}) stepping "
+                    f"matrix on host; capped at 16384 unknowns. Use "
+                    f"type_lin='CG' for this size."
+                )
             A_dense = assemble_dense(self.space, A_e)
             flat_mask = np.asarray(self.mask, dtype=np.float64).reshape(-1)
             A_dense = A_dense * flat_mask[:, None] * flat_mask[None, :]
@@ -331,3 +338,8 @@ class LinearElastodynamics:
         coupling field (stress for consistent, forces for conservative
         reads), zero off the interface."""
         return self._step(state, interface_data)
+
+    def jittable_step(self):
+        """The pure (un-jitted) step function `(state, data) -> (state,
+        info)` — the public surface for wrapping in jax transforms."""
+        return self._make_step()

@@ -523,6 +523,12 @@ class NonlinearElasticity:
         precond = self._precond
         max_cg = self._max_cg_iter
         n_nodes, dim = self.space.n_nodes, self.space.dim
+        if not use_cg and n_nodes * dim > 16384:
+            raise ValueError(
+                f"type_lin='Direct' materializes the dense "
+                f"({n_nodes * dim}, {n_nodes * dim}) tangent at trace time; "
+                f"capped at 16384 unknowns. Use type_lin='CG' for this size."
+            )
 
         def norm(v):
             return jnp.sqrt(jnp.vdot(v.ravel(), v.ravel()))
@@ -733,3 +739,9 @@ class NonlinearElasticity:
         responsibility (check `info.converged`, mirroring the AssertThrow at
         `nonlinear_elasticity.cc:497-498`)."""
         return self._step(state, interface_stress)
+
+    def jittable_step(self):
+        """The pure (un-jitted) step function `(state, stress) -> (state,
+        info)` — the public surface for wrapping in jax transforms (jit,
+        sharding constraints, scan over windows)."""
+        return self._make_step()

@@ -52,7 +52,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO_PATH) and os.path.isdir(_CSRC):
         _build()
     if os.path.exists(_SO_PATH):
-        lib = ctypes.CDLL(_SO_PATH)
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError as e:  # stale/incompatible binary -> numpy fallback
+            print(f"dat_native load skipped: {e}", file=sys.stderr)
+            return None
         lib.dat_valence.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),

@@ -67,9 +67,24 @@ def _boundary_mask(mesh: StructuredMesh, tags: dict) -> np.ndarray:
     (`clamped_raw_ids` / `oop_raw_ids` from make_scenario_grid)."""
     space = DofSpace.create(mesh)
     mask = np.ones((space.n_nodes, mesh.dim))
-    for bid in tags.get("clamped_raw_ids", [tags.get("clamped")]):
+    clamped_ids = tags.get("clamped_raw_ids", [tags.get("clamped")])
+    matched = False
+    for bid in clamped_ids:
         if bid in space.boundary_nodes:
             mask[space.boundary_nodes[bid], :] = 0.0
+            matched = True
+    if not matched:
+        # A custom tags dict without `clamped_raw_ids` carries
+        # scenario-relabeled ids that coarse (raw-colorized) meshes do not
+        # have; a silently empty mask would degrade MG convergence with no
+        # error, so fail loudly instead.
+        raise ValueError(
+            f"MG level mask: none of the clamped boundary ids {clamped_ids} "
+            f"match a boundary set on the level mesh (available: "
+            f"{sorted(space.boundary_nodes)}). Pass 'clamped_raw_ids' (raw "
+            f"colorize face ids, as recorded by make_scenario_grid) in the "
+            f"tags dict when using preconditioner='MG' with a custom mesh."
+        )
     if mesh.dim == 3:
         for bid in tags.get("oop_raw_ids", []):
             if bid in space.boundary_nodes:
@@ -261,6 +276,15 @@ class GeometricMultigrid:
             is_last = li == len(meshes) - 1
             coarse_solve = None
             if is_last:
+                n_unknowns = space_c.n_nodes * dim
+                if n_unknowns > 32768:
+                    raise ValueError(
+                        f"MG coarse level has {n_unknowns} unknowns; the "
+                        f"dense Cholesky coarse solve is O(n^3) on host and "
+                        f"is capped at 32768. Lower mg_coarse_size (got "
+                        f"coarse_size={coarse_size}) so the hierarchy "
+                        f"coarsens further."
+                    )
                 A_dense = assemble_dense(space_c, E_c)
                 flat_mask = np.asarray(mask_c, dtype=np.float64).reshape(-1)
                 A_dense = A_dense * flat_mask[:, None] * flat_mask[None, :]

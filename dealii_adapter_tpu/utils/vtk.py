@@ -66,9 +66,10 @@ def _hex_point_index(i, j, k, p):
                 + ((p - 1) if i else 2 * (p - 1) + (p - 1))
                 + (2 * ((p - 1) + (p - 1)) if k else 0)
             )
-        # k-axis edge
+        # k-axis edge; VTK hex edge order for the vertical edges is
+        # {0,4},{1,5},{3,7},{2,6}, i.e. corner (i,j) -> 0,1,3,2
         offset += 4 * (p - 1) + 4 * (p - 1)
-        return offset + (k - 1) + (p - 1) * ((2 if j else 1) if i else (3 if j else 0))
+        return offset + (k - 1) + (p - 1) * ((3 if j else 1) if i else (2 if j else 0))
     offset += 4 * ((p - 1) + (p - 1) + (p - 1))
     if nbdy == 1:  # face
         if ibdy:

@@ -44,6 +44,37 @@ def test_vtk_perm_is_bijection_and_corners(dim, degree):
     assert perm[1] == degree
 
 
+def test_hex_degree2_node_slots_match_vtk_point_index_from_ijk():
+    """Pin the full degree-2 Lagrange hexahedron layout of VTK's
+    PointIndexFromIJK (also deal.II's vtk_point_index_from_ijk): 8 corners,
+    12 edge midpoints in hex edge order ({0,1},{1,2},{3,2},{0,3}, top ring,
+    then vertical {0,4},{1,5},{3,7},{2,6}), 6 face centers (-x,+x,-y,+y,-z,+z),
+    1 body center. Guards the k-axis-edge corner factor (the vertical edges
+    above corners 2 and 3 are easy to swap)."""
+    perm = vtk_lagrange_perm(2, 3)  # lex index for each VTK slot
+
+    def lex(i, j, k):
+        return i + 3 * (j + 3 * k)
+
+    expected = [
+        # corners 0-7
+        lex(0, 0, 0), lex(2, 0, 0), lex(2, 2, 0), lex(0, 2, 0),
+        lex(0, 0, 2), lex(2, 0, 2), lex(2, 2, 2), lex(0, 2, 2),
+        # bottom edges {0,1},{1,2},{3,2},{0,3}
+        lex(1, 0, 0), lex(2, 1, 0), lex(1, 2, 0), lex(0, 1, 0),
+        # top edges {4,5},{5,6},{7,6},{4,7}
+        lex(1, 0, 2), lex(2, 1, 2), lex(1, 2, 2), lex(0, 1, 2),
+        # vertical edges {0,4},{1,5},{3,7},{2,6}
+        lex(0, 0, 1), lex(2, 0, 1), lex(0, 2, 1), lex(2, 2, 1),
+        # faces -x,+x,-y,+y,-z,+z
+        lex(0, 1, 1), lex(2, 1, 1), lex(1, 0, 1), lex(1, 2, 1),
+        lex(1, 1, 0), lex(1, 1, 2),
+        # body center
+        lex(1, 1, 1),
+    ]
+    np.testing.assert_array_equal(perm, expected)
+
+
 @pytest.mark.parametrize("dim,degree", [(2, 2), (3, 2)])
 def test_linear_field_uniform_strain(dim, degree):
     reps = (2, 2) if dim == 2 else (2, 2, 1)
