@@ -45,6 +45,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="shard element batches over this many devices")
     p.add_argument("--dtype", choices=("float32", "float64"), default=None)
     p.add_argument("--no-output", action="store_true")
+    p.add_argument("--lenient", action="store_true",
+                   help="ignore undeclared .prm subsections/keys instead of "
+                        "rejecting them (deal.II ParameterHandler rejects)")
     p.add_argument("--verbose", action="store_true",
                    help="print the per-iteration Newton convergence table "
                         "(host callback; CPU platform only)")
@@ -71,7 +74,7 @@ def main(argv=None) -> int:
         overrides["n_devices"] = args.devices
     if args.dtype is not None:
         overrides["dtype"] = args.dtype
-    params = dat.parse_prm(args.prm, **overrides)
+    params = dat.parse_prm(args.prm, strict=not args.lenient, **overrides)
 
     # banner (the reference prints thread count + git revisions,
     # `elasticity.cc:19-44`)

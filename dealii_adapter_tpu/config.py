@@ -239,13 +239,24 @@ def _coerce(attr: str, raw: str):
     return raw.strip()
 
 
-def parse_prm(path_or_text: str, **overrides) -> AllParameters:
+_KNOWN_SECTIONS = {s for s, _ in _PRM_KEYMAP}
+
+
+class PrmParseError(ValueError):
+    """A ``.prm`` entry violates the declared parameter schema."""
+
+
+def parse_prm(path_or_text: str, strict: bool = False, **overrides) -> AllParameters:
     """Parse a deal.II ``.prm`` parameter file into :class:`AllParameters`.
 
-    Accepts either a filesystem path or the raw text. Unknown subsections
-    and keys are ignored (lenient, unlike deal.II's strict parser), so the
-    reference's tutorial files all load. ``overrides`` are applied last
-    (e.g. ``dim=3``).
+    Accepts either a filesystem path or the raw text. With ``strict=True``
+    (the CLI default), undeclared subsections and undeclared keys raise
+    :class:`PrmParseError` with the line number — matching deal.II's
+    ``ParameterHandler``, which rejects entries that were never declared
+    (`parameters.cc:5-174`), so a typo like ``set Residul`` cannot silently
+    run with the default tolerance. With ``strict=False`` unknown entries
+    are ignored (useful for forward-compatible programmatic use).
+    ``overrides`` are applied last (e.g. ``dim=3``).
     """
     text = path_or_text
     if "\n" not in path_or_text:
@@ -257,13 +268,18 @@ def parse_prm(path_or_text: str, **overrides) -> AllParameters:
 
     params = AllParameters()
     section = ""
-    for line in text.splitlines():
+    for lineno, line in enumerate(text.splitlines(), start=1):
         line = line.split("#", 1)[0].strip()
         if not line:
             continue
         low = line.lower()
         if low.startswith("subsection"):
             section = line[len("subsection"):].strip().lower()
+            if strict and section not in _KNOWN_SECTIONS:
+                raise PrmParseError(
+                    f"line {lineno}: undeclared subsection '{section}' "
+                    f"(known: {sorted(_KNOWN_SECTIONS)})"
+                )
         elif low == "end":
             section = ""
         elif low.startswith("set "):
@@ -271,6 +287,16 @@ def parse_prm(path_or_text: str, **overrides) -> AllParameters:
             attr = _PRM_KEYMAP.get((section, key.strip().lower()))
             if attr is not None:
                 setattr(params, attr, _coerce(attr, value.strip()))
+            elif strict:
+                known_keys = sorted(
+                    k for (s, k) in _PRM_KEYMAP if s == section
+                )
+                raise PrmParseError(
+                    f"line {lineno}: undeclared entry '{key.strip()}' in "
+                    f"subsection '{section}' (known keys: {known_keys})"
+                )
+        elif strict:
+            raise PrmParseError(f"line {lineno}: unparseable line '{line}'")
     for k, v in overrides.items():
         if not hasattr(params, k):
             raise AttributeError(f"Unknown parameter override '{k}'")

@@ -86,3 +86,39 @@ def test_overrides():
 def test_parse_raw_text():
     p = parse_prm("subsection Time\n set Time step size = 0.5\nend\n")
     assert p.delta_t == 0.5
+
+
+def test_strict_mode_accepts_reference_files():
+    from dealii_adapter_tpu.config import PrmParseError  # noqa: F401
+
+    for f in (
+        REFERENCE_PRM,
+        "/root/reference/source/nonlinear_elasticity/nonlinear_elasticity.prm",
+    ):
+        parse_prm(f, strict=True)
+
+
+def test_strict_mode_rejects_misspelled_key():
+    from dealii_adapter_tpu.config import PrmParseError
+
+    text = "subsection Solver\n set Residul = 1e-3\nend\n"
+    # lenient: silently keeps the default tolerance (the failure mode
+    # strict mode exists to prevent)
+    assert parse_prm(text).tol_lin == 1e-6
+    with pytest.raises(PrmParseError, match="Residul"):
+        parse_prm(text, strict=True)
+
+
+def test_strict_mode_rejects_unknown_subsection():
+    from dealii_adapter_tpu.config import PrmParseError
+
+    text = "subsection Solvr\n set Model = linear\nend\n"
+    with pytest.raises(PrmParseError, match="(?i)solvr"):
+        parse_prm(text, strict=True)
+
+
+def test_strict_mode_rejects_garbage_line():
+    from dealii_adapter_tpu.config import PrmParseError
+
+    with pytest.raises(PrmParseError, match="unparseable"):
+        parse_prm("subsection Time\n sett End time = 1\nend\n", strict=True)
