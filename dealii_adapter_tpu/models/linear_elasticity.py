@@ -343,3 +343,25 @@ class LinearElastodynamics:
         """The pure (un-jitted) step function `(state, data) -> (state,
         info)` — the public surface for wrapping in jax transforms."""
         return self._make_step()
+
+    def with_delta_t(self, delta_t: float) -> "LinearElastodynamics":
+        """A solver clone stepping with a different dt on the same mesh,
+        memoized per dt. Supports subcycling: a coupling window that is not
+        an integer multiple of delta_t is closed with a shortened cached
+        stepper (`adapter.h:104-107`, `time_handler.h:63-70`). The stepping
+        matrix M + (theta dt)^2 K and its preconditioner depend on dt, so
+        the clone rebuilds them once and reuses its compiled step."""
+        import dataclasses as _dc
+
+        if float(delta_t) == float(self.params.delta_t):
+            return self
+        cache = self.__dict__.setdefault("_dt_clones", {})
+        key = float(delta_t)
+        if key not in cache:
+            cache[key] = type(self)(
+                _dc.replace(self.params, delta_t=key),
+                mesh=self.mesh,
+                tags=self.tags,
+                device_mesh=self.device_mesh,
+            )
+        return cache[key]

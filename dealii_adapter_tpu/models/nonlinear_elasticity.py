@@ -745,3 +745,29 @@ class NonlinearElasticity:
         info)` — the public surface for wrapping in jax transforms (jit,
         sharding constraints, scan over windows)."""
         return self._make_step()
+
+    def with_delta_t(self, delta_t: float) -> "NonlinearElasticity":
+        """A solver clone stepping with a different dt on the same mesh,
+        memoized per dt. Supports subcycling: a coupling window that is not
+        an integer multiple of delta_t is closed with a shortened cached
+        stepper (the `Time::set_absolute_time` design headroom,
+        `adapter.h:104-107`, `time_handler.h:63-70`). The Newmark
+        alpha-coefficients, tangent operators and preconditioner hierarchy
+        all depend on dt, so the clone rebuilds them once and reuses its
+        compiled step thereafter."""
+        import dataclasses as _dc
+
+        if float(delta_t) == float(self.params.delta_t):
+            return self
+        cache = self.__dict__.setdefault("_dt_clones", {})
+        key = float(delta_t)
+        if key not in cache:
+            cache[key] = type(self)(
+                _dc.replace(self.params, delta_t=key),
+                mesh=self.mesh,
+                tags=self.tags,
+                quasi_static=self.quasi_static,
+                device_mesh=self.device_mesh,
+                verbose=self.verbose,
+            )
+        return cache[key]

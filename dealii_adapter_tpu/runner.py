@@ -66,23 +66,18 @@ def coupled_run(
             dt = params.delta_t
         else:
             dt = min(params.delta_t, max_dt)
-            if dt < params.delta_t - _EPS:
-                # the jitted steppers bake dt into the Newmark/theta
-                # operators; windows must be integer multiples of delta_t
-                raise NotImplementedError(
-                    f"coupling window is not a multiple of delta_t "
-                    f"(remaining {max_dt} < dt {params.delta_t}); variable-"
-                    "dt stepping is not yet wired into the jitted models"
-                )
         if dt == params.delta_t:
+            step_model = model
             time.increment()
         else:
-            # subcycling: a shortened chunk closes the window; the step
-            # index is recomputed from absolute time (`time_handler.h:63-70`)
+            # subcycling: a shortened chunk closes the window with a cached
+            # per-dt stepper clone; the step index is recomputed from
+            # absolute time (`time_handler.h:63-70`, `adapter.h:104-107`)
+            step_model = model.with_delta_t(dt)
             time.set_absolute_time(time.current() + dt)
 
         interface_data = adapter.read_data(dt)
-        state, info = model.step(state, interface_data)
+        state, info = step_model.step(state, interface_data)
         if hasattr(info, "converged") and not bool(info.converged):
             raise NewtonDivergedError(
                 f"No convergence in Newton at t={time.current():.6g} "

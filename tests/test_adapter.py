@@ -205,3 +205,94 @@ def test_time_handler_rollback_roundtrip():
     t.set_absolute_time(0.05)
     assert t.get_timestep() == 5
     assert t.current() == pytest.approx(0.05)
+
+
+def test_with_delta_t_identity_and_cache():
+    model = LinearElastodynamics(_linear_params())
+    assert model.with_delta_t(0.01) is model
+    c1 = model.with_delta_t(0.005)
+    c2 = model.with_delta_t(0.005)
+    assert c1 is c2
+    assert c1.params.delta_t == 0.005
+    assert c1.mesh is model.mesh
+
+
+def test_subcycling_fractional_window_matches_manual_stepping():
+    """window = 1.5 dt: each window closes with a shortened 0.5 dt chunk via
+    a cached per-dt stepper (`adapter.h:104-107` headroom). The coupled run
+    must equal manual stepping with the same dt sequence."""
+    params = _linear_params(end_time=0.03, delta_t=0.01)
+    read_fn = lambda t, xy: np.stack(
+        [np.full(len(xy), 1e3), np.zeros(len(xy))], axis=1
+    )
+    model, adapter, fake = _make(params, window_dt=0.015, read_fn=read_fn)
+    outputs = []
+    state = coupled_run(
+        model, adapter, strict_dt=False,
+        output_cb=lambda s, t, i: outputs.append(t.current()),
+    )
+    assert fake.finalized
+    # 2 windows x (one 0.01 step + one 0.005 step) = 4 writes
+    assert len(fake.write_history) == 4
+    assert outputs == pytest.approx([0.015, 0.03])
+
+    m2 = LinearElastodynamics(params)
+    m_half = m2.with_delta_t(0.005)
+    iface = m2.space.boundary_nodes[m2.interface_id]
+    stress = np.zeros((m2.space.n_nodes, 2))
+    stress[iface, 0] = 1e3
+    stress = jnp.asarray(stress, dtype=m2.dtype)
+    s = m2.initial_state()
+    for _ in range(2):  # two windows: full chunk then half chunk
+        s, _ = m2.step(s, stress)
+        s, _ = m_half.step(s, stress)
+    np.testing.assert_allclose(
+        np.asarray(state.displacement), np.asarray(s.displacement),
+        rtol=1e-9, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.velocity), np.asarray(s.velocity),
+        rtol=1e-9, atol=1e-11,
+    )
+
+
+def test_implicit_rollback_with_fractional_subcycling():
+    """Implicit coupling + fractional windows: rollback rewinds the clock to
+    the window start via set_absolute_time mid-window; trajectory must match
+    the explicit fractional run."""
+    params = _linear_params(end_time=0.03, delta_t=0.01)
+    read_fn = lambda t, xy: np.stack(
+        [np.full(len(xy), 1e3), np.zeros(len(xy))], axis=1
+    )
+    m1, a1, _ = _make(params, window_dt=0.015, read_fn=read_fn)
+    s_exp = coupled_run(m1, a1, strict_dt=False)
+    m2, a2, f2 = _make(
+        params, window_dt=0.015, read_fn=read_fn, implicit_iterations=3
+    )
+    s_imp = coupled_run(m2, a2, strict_dt=False)
+    # 2 windows x 3 iterations x 2 chunks = 12 solves/writes
+    assert len(f2.write_history) == 12
+    np.testing.assert_allclose(
+        np.asarray(s_imp.displacement), np.asarray(s_exp.displacement),
+        rtol=1e-12, atol=1e-15,
+    )
+
+
+def test_subcycling_fractional_window_nonlinear():
+    """The Newmark/Newton model closes a fractional window through its own
+    per-dt clone (alpha-coefficients rebuilt for the short chunk)."""
+    params = _linear_params(
+        model="neo-Hookean", poly_degree=1, end_time=0.015, delta_t=0.01,
+        tol_lin=1e-8,
+    )
+    read_fn = lambda t, xy: np.stack(
+        [np.full(len(xy), 5e3), np.zeros(len(xy))], axis=1
+    )
+    model, adapter, fake = _make(
+        params, model_cls=NonlinearElasticity, window_dt=0.015,
+        read_fn=read_fn,
+    )
+    state = coupled_run(model, adapter, strict_dt=False)
+    assert fake.finalized
+    assert len(fake.write_history) == 2  # 0.01 chunk + 0.005 chunk
+    assert float(jnp.max(jnp.abs(state.displacement))) > 0
