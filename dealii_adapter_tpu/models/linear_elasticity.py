@@ -115,7 +115,35 @@ class LinearElastodynamics:
         self.solve_dtype = sdt
         self._mixed = sdt != self.dtype
 
-        if device_mesh is not None:
+        # SPMD modes (see NonlinearElasticity._setup_device_constants):
+        # GSPMD lattice sharding (element_backend auto/structured) shards the
+        # structured operators + MG via NamedSharding constraints; the
+        # shard_map cell partition stays behind element_backend="gather".
+        self._gspmd = device_mesh is not None and params.element_backend in (
+            "auto", "structured",
+        )
+        use_shardmap = device_mesh is not None and not self._gspmd
+        if self._gspmd:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._shard_axis = list(device_mesh.shape.keys())[0]
+            self._node_sharding = NamedSharding(
+                device_mesh, P(self._shard_axis, None)
+            )
+
+            def _shard(v):
+                return jax.lax.with_sharding_constraint(v, self._node_sharding)
+
+        else:
+            self._shard_axis = None
+            self._node_sharding = None
+
+            def _shard(v):
+                return v
+
+        self._shard = _shard
+
+        if use_shardmap:
             from ..parallel.partition import CellPartition
             from ..parallel.sharded_ops import ShardedOperator
 
@@ -167,15 +195,20 @@ class LinearElastodynamics:
             lam = float(
                 estimate_lambda_max(A_lo_cheb, diag_s, (self.space.n_nodes, dim))
             )
+
+            def A_lo_cheb_sh(v):
+                return _shard(A_lo_cheb(v))
+
             self._precond = chebyshev_preconditioner(
-                A_lo_cheb, diag_s, lam,
+                A_lo_cheb_sh, diag_s, lam,
                 degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
             )
         elif params.preconditioner == "MG":
-            if device_mesh is not None:
+            if use_shardmap:
                 raise NotImplementedError(
-                    "MG preconditioner is single-device for now; use "
-                    "Jacobi/Chebyshev with a device mesh"
+                    "MG with the shard_map cell-partition backend is not "
+                    "supported; use element_backend='auto'/'structured' "
+                    "(GSPMD lattice sharding) for MG on a device mesh"
                 )
             from ..ops.structured import make_structured_operator
             from ..solvers.multigrid import GeometricMultigrid
@@ -203,6 +236,8 @@ class LinearElastodynamics:
                 fem_sem=params.mg_fem_sem,
                 use_pallas=params.use_pallas,
                 skip_fine_smoothing=params.mg_skip_fine_smoothing,
+                device_mesh=device_mesh if self._gspmd else None,
+                shard_axis=self._shard_axis or "shards",
             )
         elif params.preconditioner == "None":
             self._precond = None
@@ -244,9 +279,10 @@ class LinearElastodynamics:
     def masked_operator(self, op):
         """BC-eliminated SPD action: identity on constrained DoFs."""
         mask = self.mask
+        shard = self._shard
 
         def apply(v):
-            return mask * op(mask * v) + (1.0 - mask) * v
+            return shard(mask * op(mask * v) + (1.0 - mask) * v)
 
         return apply
 
@@ -275,8 +311,10 @@ class LinearElastodynamics:
         direct = self._direct
         max_iter = self._max_cg_iter
 
+        shard = self._shard
+
         def A_lo_bc(v):
-            return mask_lo * A_lo(mask_lo * v) + (1.0 - mask_lo) * v
+            return shard(mask_lo * A_lo(mask_lo * v) + (1.0 - mask_lo) * v)
 
         def step(state: LinearState, interface_data: jnp.ndarray):
             F_new = self.assemble_load(interface_data)
@@ -287,7 +325,7 @@ class LinearElastodynamics:
                 - (theta * (1.0 - theta) * dt * dt) * K(state.velocity)
                 - dt * K(state.displacement)
             )
-            rhs = mask * rhs  # zero-valued Dirichlet rows
+            rhs = shard(mask * rhs)  # zero-valued Dirichlet rows
 
             if use_cg and mixed:
                 # f32 CG + f64 defect correction meets the absolute 1e-10

@@ -192,16 +192,40 @@ class NonlinearElasticity:
         dt = self.dtype
 
         sharded = self.device_mesh is not None
-        if sharded and params.element_backend == "structured":
-            raise NotImplementedError(
-                "structured element backend is single-device; use "
-                "element_backend='gather' (or 'auto') with a device mesh"
-            )
-        self._structured = (not sharded) and params.element_backend in (
-            "auto",
-            "structured",
-        )
-        if sharded:
+        # Two SPMD modes over a device mesh:
+        #   * GSPMD lattice sharding (default, element_backend auto/
+        #     structured): the structured gather-free operators are plain jax
+        #     programs, so NamedSharding constraints on the nodal lattice
+        #     partition them — XLA inserts halo exchanges (collective-
+        #     permute) for the strided patch slices, the V-cycle transfers,
+        #     and the Newton/CG vectors (proven bit-exact in
+        #     tests/test_sharding.py). This is the production scaling path:
+        #     it shards the MG preconditioner too.
+        #   * shard_map cell partition (element_backend="gather"): explicit
+        #     per-device cell blocks + psum nodal reduction; preconditioners
+        #     run replicated.
+        self._gspmd = sharded and params.element_backend in ("auto", "structured")
+        use_shardmap = sharded and not self._gspmd
+        self._structured = params.element_backend in ("auto", "structured")
+        if self._gspmd:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = list(self.device_mesh.shape.keys())[0]
+            self._shard_axis = axis
+            self._node_sharding = NamedSharding(self.device_mesh, P(axis, None))
+
+            def _shard(v):
+                return jax.lax.with_sharding_constraint(v, self._node_sharding)
+
+        else:
+            self._shard_axis = None
+            self._node_sharding = None
+
+            def _shard(v):
+                return v
+
+        self._shard = _shard
+        if use_shardmap:
             from ..parallel.partition import CellPartition
             from ..parallel.sharded_ops import (
                 ShardedOperator,
@@ -226,7 +250,7 @@ class NonlinearElasticity:
         # consistent mass (reference-configuration, constant) for the
         # inertia term; rho=0 or quasi_static disables it
         elem = ElementMatrices(space, 0.0, 0.0, params.rho)
-        if sharded:
+        if use_shardmap:
             self.M = ShardedOperator(
                 part=self._part,
                 mesh=self.device_mesh,
@@ -303,7 +327,7 @@ class NonlinearElasticity:
             G_t, w_t = self.G.astype(tdt), self.w.astype(tdt)
             mat = self.material
             self.mask_t = self.mask.astype(tdt)
-            if sharded:
+            if use_shardmap:
                 self.M_t = ShardedOperator(
                     part=self._part, mesh=self.device_mesh,
                     E=jnp.asarray(elem.M_e, dtype=tdt), dim=dim,
@@ -369,31 +393,43 @@ class NonlinearElasticity:
             # Chebyshev smooths on the *constant* small-strain proxy of the
             # tangent (exact tangent changes per Newton iteration; the proxy
             # shares its spectrum's shape at moderate strains)
-            if sharded:
+            if use_shardmap:
                 from ..parallel.sharded_ops import ShardedOperator as _ShOp
 
                 proxy = _ShOp(
                     part=self._part, mesh=self.device_mesh,
                     E=jnp.asarray(Ke_precond, dtype=sdt), dim=dim,
                 )
+            elif self._structured:
+                from ..ops.structured import make_structured_operator as _mks
+
+                proxy = _mks(space, Ke_precond, sdt, precision="default")
             else:
                 proxy = make_operator(space, Ke_precond, sdt)
             mask_s = self.mask.astype(sdt)
             diag_s = diag.astype(sdt)
 
-            def proxy_bc(v):
+            def proxy_bc_raw(v):
                 return mask_s * proxy(mask_s * v) + (1.0 - mask_s) * v
 
-            lam = float(estimate_lambda_max(proxy_bc, diag_s, (space.n_nodes, dim)))
+            lam = float(
+                estimate_lambda_max(proxy_bc_raw, diag_s, (space.n_nodes, dim))
+            )
+
+            def proxy_bc(v):
+                return _shard(proxy_bc_raw(v))
+
             self._precond = chebyshev_preconditioner(
                 proxy_bc, diag_s, lam,
                 degree=params.cheb_degree, eig_ratio=params.cheb_eig_ratio,
             )
         elif params.preconditioner == "MG":
-            if sharded:
+            if use_shardmap:
                 raise NotImplementedError(
-                    "MG preconditioner is single-device for now; use "
-                    "Jacobi/Chebyshev with a device mesh"
+                    "MG with the shard_map cell-partition backend is not "
+                    "supported; use element_backend='auto'/'structured' "
+                    "(GSPMD lattice sharding) for the MG production config "
+                    "on a device mesh"
                 )
             from ..ops.structured import make_structured_operator
             from ..solvers.multigrid import GeometricMultigrid
@@ -419,6 +455,8 @@ class NonlinearElasticity:
                 fem_sem=params.mg_fem_sem,
                 use_pallas=params.use_pallas,
                 skip_fine_smoothing=params.mg_skip_fine_smoothing,
+                device_mesh=self.device_mesh if self._gspmd else None,
+                shard_axis=self._shard_axis or "shards",
             )
         elif params.preconditioner == "None":
             self._precond = None
@@ -506,7 +544,7 @@ class NonlinearElasticity:
                 - self.alpha_3 * state.acceleration
             )
             rhs = rhs - self.M(acc)
-        return self.mask * rhs, min_J
+        return self._shard(self.mask * rhs), min_J
 
     # ------------------------------------------------------------------
 
@@ -618,7 +656,7 @@ class NonlinearElasticity:
                             Kv = jvp_int(mv)
                             if not self.quasi_static:
                                 Kv = Kv + a1_t * self.M_t(mv)
-                            return mask_t * Kv + (1.0 - mask_t) * v
+                            return self._shard(mask_t * Kv + (1.0 - mask_t) * v)
 
                         tol = cg_tolerance().astype(tdtype)
                         r = cg_solve(
@@ -632,7 +670,7 @@ class NonlinearElasticity:
                     _, jvp = jax.linearize(rhs_fn, c.delta)
 
                     def K(v):
-                        return mask * (-jvp(mask * v)) + (1.0 - mask) * v
+                        return self._shard(mask * (-jvp(mask * v)) + (1.0 - mask) * v)
 
                     if use_cg:
                         r = cg_solve(K, rhs, zero, tol=cg_tolerance(),

@@ -153,6 +153,8 @@ class GeometricMultigrid:
         fem_sem: bool = True,
         use_pallas: bool = False,
         skip_fine_smoothing: bool = False,
+        device_mesh=None,
+        shard_axis: str = "shards",
     ):
         """`fine_operator` must already be BC-masked (identity on
         constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
@@ -326,21 +328,50 @@ class GeometricMultigrid:
         self.levels = levels
         self.dim = dim
 
+        # GSPMD lattice sharding: constrain each level's nodal vector to be
+        # sharded over the device mesh (XLA inserts halo exchanges for the
+        # structured patch slices and reshards across the inter-level
+        # transfers); the dense coarse solve is pinned replicated. This is
+        # the SPMD scaling path for the V-cycle — the levels' operators are
+        # plain jax programs, so the annotations alone partition them.
+        self._shards = [None] * len(levels)
+        self._replicate = None
+        if device_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = int(np.prod(list(device_mesh.shape.values())))
+            self._replicate = NamedSharding(device_mesh, P(None, None))
+            for li, lv in enumerate(levels):
+                n_rows = int(np.prod(lv.grid_shape))
+                # levels too small to spread stay replicated
+                if lv.coarse_solve is None and n_rows >= 4 * n_dev:
+                    self._shards[li] = NamedSharding(
+                        device_mesh, P(shard_axis, None)
+                    )
+                else:
+                    self._shards[li] = self._replicate
+
     # ------------------------------------------------------------------
+
+    def _constrain(self, li: int, v):
+        s = self._shards[li]
+        if s is None:
+            return v
+        return jax.lax.with_sharding_constraint(v, s)
 
     def _restrict(self, li: int, r):
         lv = self.levels[li]
         r_grid = r.reshape(lv.grid_shape + (self.dim,))
         rc = _apply_sep(r_grid, lv.R_1d)
         rc = rc.reshape(-1, self.dim)
-        return self.levels[li + 1].mask * rc
+        return self._constrain(li + 1, self.levels[li + 1].mask * rc)
 
     def _prolong(self, li: int, ec):
         lv = self.levels[li]
         ec_grid = ec.reshape(self.levels[li + 1].grid_shape + (self.dim,))
         ef = _apply_sep(ec_grid, lv.P_1d)
         ef = ef.reshape(-1, self.dim)
-        return lv.mask * ef
+        return self._constrain(li, lv.mask * ef)
 
     def _vcycle(self, li: int, b):
         lv = self.levels[li]
@@ -367,5 +398,5 @@ class GeometricMultigrid:
         with float32 gives a mixed-precision preconditioner (f32 V-cycle
         inside f64 CG), which keeps the 1e-10 outer convergence contract
         while the bulk of the flops run at native TPU f32 speed."""
-        z = self._vcycle(0, r.astype(self.dtype))
+        z = self._vcycle(0, self._constrain(0, r.astype(self.dtype)))
         return z.astype(r.dtype)
