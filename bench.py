@@ -6,11 +6,19 @@ the 3D nonlinear (finite-strain Neo-Hookean) perpendicular-flap at ~1M DoF,
 Newton-Krylov with matrix-free Jacobi-preconditioned CG at the reference's
 tolerances (tol_u=1e-6, tol_f=1e-9 relative; float64).
 
-`vs_baseline` is throughput relative to the CPU proxy recorded in
-`bench_baseline.json` (the same jitted step measured on the bench host's
-CPU backend — the stand-in for the reference's 16-core CPU run, since the
-reference publishes no numbers and deal.II is not available in this image;
-see BASELINE.md). Regenerate with BENCH_MAKE_CPU_BASELINE=1 python bench.py.
+`vs_baseline` is throughput relative to the north-star stand-in for the
+reference's 16-core CPU run (BASELINE.md:27). The reference binary cannot
+run in this image (deal.II is not installable), and the bench host exposes
+a limited number of CPU cores, so the stand-in is constructed honestly in
+two explicit steps recorded in `bench_baseline.json`:
+  1. measure our own jitted step on the host CPU backend (XLA, all
+     available cores; `cpu_mdof_steps_per_s`, `cpu_cores_measured`);
+  2. extrapolate to 16 cores with IDEAL linear scaling
+     (`cpu16_mdof_steps_per_s_est`) — an upper bound on any real 16-core
+     run, making `vs_baseline` a CONSERVATIVE multiplier.
+The JSON line also reports `vs_cpu_measured` (the raw measured-host
+multiplier, the round-1 definition). Regenerate the baseline with
+BENCH_MAKE_CPU_BASELINE=1 python bench.py.
 
 Env knobs: BENCH_SCALE (mesh multiplier, default 9 -> ~1.02M DoF),
 BENCH_STEPS (timed steps, default 3), BENCH_DTYPE, BENCH_DEGREE.
@@ -123,12 +131,17 @@ def main():
 
     if os.environ.get("BENCH_MAKE_CPU_BASELINE"):
         jax.config.update("jax_platforms", "cpu")
+        cores = os.cpu_count() or 1
         model = build_model(scale, dtype, degree)
         mdof = model.space.n_dofs / 1e6
         elapsed, diags = run_steps(model, max(1, n_steps))
         val = mdof * max(1, n_steps) / elapsed
         rec = dict(
             cpu_mdof_steps_per_s=val,
+            cpu_cores_measured=cores,
+            # ideal linear scaling to 16 cores: an upper bound on the real
+            # 16-core reference run this proxy stands in for
+            cpu16_mdof_steps_per_s_est=val * max(1.0, 16.0 / cores),
             n_dofs=model.space.n_dofs,
             scale=scale,
             dtype=dtype,
@@ -136,8 +149,10 @@ def main():
             steps=max(1, n_steps),
             seconds=elapsed,
             diags=diags,
-            note="our jitted step on the bench host CPU backend (XLA, all cores)"
-            " — proxy for the reference's 16-core CPU run",
+            note="our jitted step on the bench host CPU backend (XLA, all "
+            f"available cores = {cores}); the 16-core estimate assumes ideal "
+            "linear scaling. The deal.II reference binary cannot run in this "
+            "image, so this self-proxy is the only runnable baseline.",
         )
         with open(baseline_path, "w") as fh:
             json.dump(rec, fh, indent=1)
@@ -155,12 +170,20 @@ def main():
     value = mdof * n_steps / elapsed
     print(f"diags: {diags}", file=sys.stderr)
 
-    vs = 0.0
+    vs16 = 0.0
+    vs_measured = 0.0
     if os.path.exists(baseline_path):
         with open(baseline_path) as fh:
             base = json.load(fh)
-        if base.get("cpu_mdof_steps_per_s"):
-            vs = value / base["cpu_mdof_steps_per_s"]
+        cpu1 = base.get("cpu_mdof_steps_per_s", 0.0)
+        cores = base.get("cpu_cores_measured", 1)
+        cpu16 = base.get(
+            "cpu16_mdof_steps_per_s_est", cpu1 * max(1.0, 16.0 / cores)
+        )
+        if cpu1:
+            vs_measured = value / cpu1
+        if cpu16:
+            vs16 = value / cpu16
 
     print(
         json.dumps(
@@ -168,7 +191,11 @@ def main():
                 "metric": "nonlinear_flap_3d_mdof_newmark_steps_per_s",
                 "value": round(value, 4),
                 "unit": "MDoF*steps/s",
-                "vs_baseline": round(vs, 3),
+                # conservative: vs IDEAL 16-core scaling of the CPU proxy
+                # (the north-star baseline, BASELINE.md:27)
+                "vs_baseline": round(vs16, 3),
+                # raw multiplier vs the measured CPU-backend proxy
+                "vs_cpu_measured": round(vs_measured, 3),
             }
         )
     )

@@ -193,6 +193,221 @@ except Exception:  # noqa: BLE001
     _PALLAS_OK = False
 
 
+def _make_slab_kernel_3d(E, nA, nL, ncz, B, io_dtype, cdtype):
+    """Slab kernel: grid step k consumes node planes [kB, kB+B] and writes
+    node planes [kB, kB+B). vs the plane-at-a-time kernel: B cell planes of
+    slot-pair FMAs per step (amortizing per-step overhead), overlap-add via
+    read-modify-write slice accumulation on a VMEM scratch slab (no
+    concatenate/pad copies), and the in-plane axes are pre-swapped by the
+    caller so the LONGER extent rides the 128-wide lane dimension."""
+    slots = [(c, b, a) for c in (0, 1) for b in (0, 1) for a in (0, 1)]
+    ncA, ncL = nA - 1, nL - 1
+    dim = 3
+
+    def kernel(uA_ref, uB_ref, out_ref, carry):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            carry[...] = jnp.zeros_like(carry)
+
+        u_slab = uA_ref[...].astype(cdtype)  # (dim, B, nA, nL)
+        u_top = uB_ref[...].astype(cdtype)  # (dim, 1, nA, nL)
+        u_ext = jnp.concatenate([u_slab, u_top], axis=1)  # (dim, B+1, ..)
+        # Pre-shifted ALIGNED copies: window slices at in-plane offsets
+        # (b, a) in {0,1}^2 would give every FMA operand a misaligned
+        # sublane/lane layout (Mosaic inserts shift ops per use — measured
+        # ~10x over the VPU bound). Shifting u once per (b, a) instead
+        # makes all slot windows offset-0 slices of one of 4 copies.
+        zL = jnp.zeros_like(u_ext[..., :1])
+        zA = jnp.zeros_like(u_ext[:, :, :1, :])
+        u01 = jnp.concatenate([u_ext[..., 1:], zL], axis=-1)
+        u10 = jnp.concatenate([u_ext[:, :, 1:, :], zA], axis=-2)
+        u11 = jnp.concatenate([u10[..., 1:], zL], axis=-1)
+        base = {(0, 0): u_ext, (0, 1): u01, (1, 0): u10, (1, 1): u11}
+        # ghost-cell guard: padded z cell planes still touch the top real
+        # node plane, so their contributions are masked out per cell plane
+        zs = k * B + jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+        mask = (zs < ncz).astype(cdtype)
+        uwin = [
+            [
+                base[(b, a)][e, c : c + B, :ncA, :ncL]
+                for (c, b, a) in slots
+            ]
+            for e in range(dim)
+        ]
+        zplane = jnp.zeros((1, ncA, ncL), dtype=cdtype)
+
+        def pad_ba(v, b, a):
+            """(B+1, ncA, ncL) -> (B+1, nA, nL) placed at offset (b, a)."""
+            zrow = jnp.zeros((B + 1, 1, ncL), dtype=cdtype)
+            v = jnp.concatenate([zrow, v] if b else [v, zrow], axis=1)
+            zcol = jnp.zeros((B + 1, nA, 1), dtype=cdtype)
+            return jnp.concatenate([zcol, v] if a else [v, zcol], axis=2)
+
+        outs = []
+        tops = []
+        for d in range(dim):
+            # per (z-offset, b, a) slot sums — all operands aligned
+            sums = {}
+            for si, (c, b, a) in enumerate(slots):
+                acc = None
+                for ti in range(len(slots)):
+                    for e in range(dim):
+                        w = float(E[si * dim + d, ti * dim + e])
+                        if w == 0.0:
+                            continue
+                        term = w * uwin[e][ti]
+                        acc = term if acc is None else acc + term
+                if acc is not None:
+                    sums[(c, b, a)] = acc * mask
+            # combine into a full (B+1, nA, nL) column for this component:
+            # only 4 shifted adds per component touch misaligned layouts
+            outd = None
+            for b in (0, 1):
+                for a in (0, 1):
+                    low = sums.get((0, b, a))
+                    high = sums.get((1, b, a))
+                    if low is None and high is None:
+                        continue
+                    col = jnp.concatenate(
+                        [zplane if low is None else low, zplane], axis=0
+                    )
+                    if high is not None:
+                        col = col + jnp.concatenate([zplane, high], axis=0)
+                    p = pad_ba(col, b, a)
+                    outd = p if outd is None else outd + p
+            outs.append(outd[:B].at[0].add(carry[d]))
+            tops.append(outd[B])
+        out_ref[...] = jnp.stack(outs, axis=0).astype(out_ref.dtype)
+        carry[...] = jnp.stack(tops, axis=0)
+
+    return kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasQ1SlabOperator:
+    """Slab-fused Q1 structured operator (3D): same call surface as
+    StructuredOperator. I/O in `dtype_name` (f32 or bf16 on TPU; the V-cycle
+    hierarchy runs bf16), accumulation in f32 (f64 under interpret tests)."""
+
+    E_host: tuple
+    grid_shape: Tuple[int, ...]  # (nz, ny, nx) canonical, slowest first
+    dtype_name: str
+    slab: int = 4
+    interpret: bool = False
+
+    def _E(self) -> np.ndarray:
+        return np.asarray(self.E_host, dtype=np.float64)
+
+    @functools.cached_property
+    def _apply(self):
+        dim = 3
+        dtype = jnp.dtype(self.dtype_name)
+        cdtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        nz, ny, nx = self.grid_shape
+        # put the longer in-plane extent on the lane (last) axis
+        swap = ny > nx
+        nA, nL = (nx, ny) if swap else (ny, nx)
+        E = self._E()
+        if swap:
+            # slot order follows (z, A, L) = (z, x, y): re-permute the
+            # element matrix from the canonical (z, y, x) local order
+            perm = []
+            for c in (0, 1):
+                for b in (0, 1):  # A = x
+                    for a in (0, 1):  # L = y
+                        # canonical slot index of (z=c, y=a, x=b)
+                        perm.append(c * 4 + a * 2 + b)
+            idx = np.repeat(np.asarray(perm) * dim, dim) + np.tile(
+                np.arange(dim), len(perm)
+            )
+            E = E[np.ix_(idx, idx)]
+        ncz = nz - 1
+        B = max(1, min(self.slab, ncz))
+        # enough steps that node plane nz-1 is always inside a written
+        # block: when B divides ncz the top plane's contributions ride the
+        # carry into one extra (all-ghost-cell) step
+        n_steps = -(-nz // B)  # cdiv over NODE planes
+        nz_pad = n_steps * B + 1
+        kernel = _make_slab_kernel_3d(E, nA, nL, ncz, B, dtype, cdtype)
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((dim, n_steps * B, nA, nL), dtype),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (dim, B, nA, nL),
+                    lambda k: (_I0, k, _I0, _I0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (dim, 1, nA, nL),
+                    lambda k: (_I0, (k + np.int32(1)) * np.int32(B), _I0, _I0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (dim, B, nA, nL),
+                lambda k: (_I0, k, _I0, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((dim, nA, nL), cdtype)],
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )
+
+        def apply(u):
+            u_grid = u.reshape((nz, ny, nx, dim))
+            ut = jnp.moveaxis(u_grid, -1, 0).astype(dtype)  # (dim, z, y, x)
+            if swap:
+                ut = ut.transpose(0, 1, 3, 2)  # (dim, z, x, y)
+            ut = jnp.pad(ut, ((0, 0), (0, nz_pad - nz), (0, 0), (0, 0)))
+            out = call(ut, ut)[:, :nz]
+            if swap:
+                out = out.transpose(0, 1, 3, 2)
+            r = jnp.moveaxis(out, 0, -1)
+            return r.reshape(-1, dim)
+
+        return apply
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(u).astype(u.dtype)
+
+    def diagonal(self) -> jnp.ndarray:
+        E = self._E()
+        dim = 3
+        npc = E.shape[0] // dim
+        d = np.diag(E).reshape(npc, dim)
+        reps_rev = tuple(s - 1 for s in self.grid_shape)
+        out = np.zeros(tuple(self.grid_shape) + (dim,))
+        for si, off in enumerate(_slot_offsets(dim)):
+            sl = tuple(slice(o, o + r) for o, r in zip(off, reps_rev))
+            out[sl] += d[si]
+        return jnp.asarray(
+            out.reshape(-1, dim), dtype=jnp.dtype(self.dtype_name)
+        )
+
+
+def make_pallas_q1_slab_operator(
+    space: DofSpace,
+    E: np.ndarray,
+    dtype=jnp.float32,
+    slab: int = 4,
+    interpret: bool = False,
+) -> PallasQ1SlabOperator:
+    E = np.asarray(E, dtype=np.float64)
+    return PallasQ1SlabOperator(
+        E_host=tuple(tuple(row) for row in E),
+        grid_shape=_grid_shape(space),
+        dtype_name=str(jnp.dtype(dtype)),
+        slab=slab,
+        interpret=interpret,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class PallasQ1Operator:
     """Same call surface as StructuredOperator, fused in one Pallas pass."""

@@ -46,3 +46,32 @@ def test_auto_falls_back_off_tpu():
     from dealii_adapter_tpu.ops.structured import StructuredOperator
 
     assert isinstance(op, StructuredOperator)
+
+
+@pytest.mark.parametrize(
+    "reps,slab",
+    [((6, 5, 4), 2), ((9, 23, 7), 4), ((8, 4, 12), 4), ((5, 3, 3), 8)],
+)
+def test_pallas_q1_slab_matches_xla(reps, slab):
+    """Slab kernel (B cell planes per grid step, in-plane axis swap for lane
+    utilization) is exact against the XLA formulation, including lattices
+    where B divides / does not divide the cell-plane count."""
+    from dealii_adapter_tpu.ops.pallas_structured import (
+        make_pallas_q1_slab_operator,
+    )
+
+    mesh = subdivided_hyper_rectangle(
+        reps, (0.0,) * 3, tuple(float(r) for r in reps), 1
+    )
+    space = DofSpace.create(mesh)
+    elem = ElementMatrices(space, 2e6, 0.5e6, 1000.0)
+    E = elem.K_e + 3.3e4 * elem.M_e
+    ref = make_structured_operator(space, E, jnp.float64)
+    pal = make_pallas_q1_slab_operator(
+        space, E, jnp.float64, slab=slab, interpret=True
+    )
+    u = jax.random.normal(jax.random.PRNGKey(0), (space.n_nodes, 3))
+    err = float(jnp.linalg.norm(pal(u) - ref(u)) / jnp.linalg.norm(ref(u)))
+    assert err < 1e-13, err
+    dd = np.asarray(pal.diagonal()) - np.asarray(ref.diagonal())
+    assert np.abs(dd).max() < 1e-8 * np.abs(np.asarray(ref.diagonal())).max()
