@@ -277,7 +277,8 @@ def _make_slab_kernel_3d(E, nA, nL, ncz, B, io_dtype, cdtype):
                         col = col + jnp.concatenate([zplane, high], axis=0)
                     p = pad_ba(col, b, a)
                     outd = p if outd is None else outd + p
-            outs.append(outd[:B].at[0].add(carry[d]))
+            first = (outd[0] + carry[d])[None]
+            outs.append(jnp.concatenate([first, outd[1:B]], axis=0))
             tops.append(outd[B])
         out_ref[...] = jnp.stack(outs, axis=0).astype(out_ref.dtype)
         carry[...] = jnp.stack(tops, axis=0)
@@ -533,13 +534,14 @@ class PallasQ1Operator:
 
 
 def pallas_q1_supported(space: DofSpace, dtype) -> bool:
-    """Gate: TPU backend, Q1, 2D/3D, f32 (f64 stays on the XLA path —
-    Mosaic has no f64 vector ALU on current TPUs)."""
+    """Gate: TPU backend, Q1, 2D/3D, f32/bf16 (f64 stays on the XLA path —
+    Mosaic has no f64 vector ALU on current TPUs; bf16 I/O computes f32
+    in-kernel)."""
     if not _PALLAS_OK:
         return False
     if space.mesh.degree != 1 or space.dim not in (2, 3):
         return False
-    if jnp.dtype(dtype) != jnp.float32:
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -572,7 +574,10 @@ def make_structured_operator_auto(
     need no behavioral switch — this is purely a bandwidth optimization."""
     if use_pallas and pallas_q1_supported(space, dtype):
         try:
-            op = make_pallas_q1_operator(space, E, dtype)
+            if space.dim == 3:
+                op = make_pallas_q1_slab_operator(space, E, dtype, slab=4)
+            else:
+                op = make_pallas_q1_operator(space, E, dtype)
             # build-time smoke test: force one compile on the real shape so
             # an unsupported Mosaic lowering falls back here instead of
             # failing inside the enclosing model jit
@@ -586,6 +591,8 @@ def make_structured_operator_auto(
 
 __all__ = [
     "PallasQ1Operator",
+    "PallasQ1SlabOperator",
+    "make_pallas_q1_slab_operator",
     "make_pallas_q1_operator",
     "make_structured_operator_auto",
     "pallas_q1_supported",

@@ -219,8 +219,23 @@ class GeometricMultigrid:
             )
             if meshes[-1].n_nodes * dim <= coarse_size:
                 reps = None  # Q1 level already small enough
+        extent = np.array(mesh.p1, dtype=float) - np.array(mesh.p0, dtype=float)
         while reps is not None and any(r > 1 for r in reps):
-            reps = tuple(max(1, (r + 1) // 2) for r in reps)
+            # aspect-aware semi-coarsening: halve only the axes whose cell
+            # spacing is close to the finest (strongest coupling); a point
+            # smoother cannot damp errors along weakly-coupled (large-h)
+            # directions, so isotropic halving of an anisotropic lattice
+            # (the PF flap is ~9:1 in z) destroys the V-cycle contraction.
+            # Axes equalize over the levels, then all halve together.
+            h = extent / np.array(reps, dtype=float)
+            hmin = min(h_d for h_d, r in zip(h, reps) if r > 1)
+            new_reps = tuple(
+                max(1, (r + 1) // 2) if (r > 1 and h_d <= 1.9 * hmin) else r
+                for r, h_d in zip(reps, h)
+            )
+            if new_reps == reps:  # defensive: never stall the hierarchy
+                new_reps = tuple(max(1, (r + 1) // 2) for r in reps)
+            reps = new_reps
             meshes.append(
                 subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1)
             )

@@ -67,6 +67,10 @@ VARIANTS = {
     "mg3": dict(mg_smooth_degree=3),
     "mg4": dict(mg_smooth_degree=4),
     "mg2c20k": dict(mg_smooth_degree=2, mg_coarse_size=20000),
+    "ew3predpal": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", newton_predictor=True, use_pallas=True),
+    "ew3predf32pal": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="float32", newton_predictor=True, use_pallas=True),
+    "ew2pred": dict(newton_forcing="ew", mg_smooth_degree=2, precond_dtype="bfloat16", newton_predictor=True),
+    "ew4pred": dict(newton_forcing="ew", mg_smooth_degree=4, precond_dtype="bfloat16", newton_predictor=True),
     "cheb": dict(preconditioner="Chebyshev", cheb_degree=4),
     "jac": dict(preconditioner="Jacobi"),
 }
