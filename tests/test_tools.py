@@ -1,0 +1,78 @@
+"""Smoke tests for the measurement tools backing PERFORMANCE.md.
+
+The tools (`tools/mg_sweep.py`, `tools/profile_step.py`, `tools/op_bench.py`)
+produce the numbers in the performance ledger; if they bitrot, future
+measurements silently break. Each test drives a tool's entry point at a tiny
+scale on the CPU backend — asserting it runs and reports sane values, not
+asserting performance.
+"""
+
+import os
+import sys
+
+import pytest
+
+TOOLS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+ROOT = os.path.dirname(TOOLS_DIR)
+for p in (TOOLS_DIR, ROOT):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+@pytest.mark.slow
+def test_mg_sweep_run_variant_tiny():
+    import mg_sweep
+
+    r = mg_sweep.run_variant(1, **mg_sweep.VARIANTS["ew3pred"])
+    assert r["converged"]
+    assert r["newton"] >= 1
+    assert r["cg"] >= 1
+    assert r["seconds"] > 0
+
+
+def test_mg_sweep_main_reports_failure_not_raise(monkeypatch, capsys):
+    import mg_sweep
+
+    def boom(scale, **kw):
+        raise RuntimeError("synthetic")
+
+    monkeypatch.setattr(mg_sweep, "run_variant", boom)
+    monkeypatch.setattr(sys, "argv", ["mg_sweep.py", "1", "mg2"])
+    mg_sweep.main()  # must swallow the failure and keep sweeping
+    out = capsys.readouterr().out
+    assert "FAILED" in out and "synthetic" in out
+
+
+@pytest.mark.slow
+def test_profile_step_tiny(monkeypatch, capsys):
+    import profile_step
+
+    monkeypatch.setattr(sys, "argv", ["profile_step.py", "1"])
+    profile_step.main()
+    out = capsys.readouterr().out
+    assert "f64 residual eval" in out
+    assert "full Newmark step" in out
+    assert "MG V-cycle" in out  # bench config builds an MG preconditioner
+
+
+def test_op_bench_tiny(monkeypatch, capsys):
+    import op_bench
+
+    monkeypatch.setattr(sys, "argv", ["op_bench.py", "1"])
+    op_bench.main()
+    out = capsys.readouterr().out
+    # CPU backend: XLA numbers print, Pallas variants are skipped
+    assert "XLA structured f32" in out
+    assert "GB/s" in out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scale", [1])
+def test_bench_build_model_and_step(scale):
+    """bench.py's model builder must produce a converging stepper."""
+    import bench
+
+    model = bench.build_model(scale, "float64", 2)
+    elapsed, diags = bench.run_steps(model, 2)
+    assert elapsed > 0
+    assert all(d["converged"] for d in diags)
