@@ -142,6 +142,17 @@ class AllParameters(
     # patches + overlap-add (single-device), "gather" = transpose-gather
     # plans (required for sharding), "auto" = structured unless sharded
     element_backend: str = "auto"
+    # Newton tangent operator inside CG: "assembled" materializes per-cell
+    # element tangent matrices once per Newton iteration (the reference's
+    # assemble-once structure, `nonlinear_elasticity.cc:1044-1087`, as one
+    # bandwidth-bound batched FMA sweep per CG matvec); "jvp" re-linearizes
+    # the internal force per solve and pays a kinematics+constitutive
+    # pushforward per CG iteration; "auto" = assembled when the structured
+    # backend + mixed-precision CG path is active and the tangent fits
+    # `assembled_tangent_max_gb`, else jvp. Both are the same frozen
+    # linearization — identical Newton/CG behavior.
+    tangent_backend: str = "auto"  # "auto" | "assembled" | "jvp"
+    assembled_tangent_max_gb: float = 6.0
 
     def __post_init__(self):
         self.finalize()
@@ -217,6 +228,7 @@ _PRM_KEYMAP: Dict[Tuple[str, str], str] = {
     ("tpu", "element backend"): "element_backend",
     ("tpu", "solve dtype"): "solve_dtype",
     ("tpu", "preconditioner dtype"): "precond_dtype",
+    ("tpu", "tangent backend"): "tangent_backend",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(AllParameters)}

@@ -358,6 +358,7 @@ class NonlinearElasticity:
                     return overlap_add_T(rt, p, rr, gs).reshape(-1, dim)
 
                 self._int_force_t = int_force_t
+                self._G_t, self._w_t = G_t, w_t
             else:
                 self.M_t = make_operator(space, elem.M_e, tdt)
                 cells_c, plan_c = self.cells, self.plan
@@ -376,6 +377,87 @@ class NonlinearElasticity:
             self.mask_t = self.mask
             self.M_t = None
             self._int_force_t = None
+
+        # Assembled-tangent backend selection (ops/assembled_tangent.py):
+        # materialize per-cell element tangents once per Newton iteration
+        # instead of re-linearizing the force per CG matvec — the
+        # reference's assemble-once structure (`nonlinear_elasticity.cc:
+        # 1044-1087`) in TPU form. Requires the structured (lattice) layout
+        # for the patch extract/overlap-add and runs in the inner-solve
+        # dtype; identical linearization, so Newton/CG behavior is
+        # unchanged (tests/test_assembled_tangent.py).
+        self._use_assembled = False
+        self._tangent_mass = None
+        self._tangent_pallas = False
+        if (
+            params.tangent_backend in ("auto", "assembled")
+            and params.type_lin == "CG"
+            and self._mixed_tangent
+            and self._structured
+            and not use_shardmap
+        ):
+            from ..ops.assembled_tangent import tangent_bytes
+
+            kb = tangent_bytes(space, self.solve_dtype)
+            fits = kb <= params.assembled_tangent_max_gb * 1e9
+            if not fits and params.tangent_backend == "assembled":
+                raise ValueError(
+                    f"tangent_backend='assembled' needs {kb/1e9:.1f} GB for "
+                    f"the per-cell tangents (> assembled_tangent_max_gb="
+                    f"{params.assembled_tangent_max_gb}); use 'jvp' or raise "
+                    "the cap"
+                )
+            if fits:
+                self._use_assembled = True
+                npc = space.tab.n_nodes
+                a1 = 0.0 if self.quasi_static else self.alpha_1
+                m_scalar = np.asarray(elem.M_e).reshape(npc, dim, npc, dim)[
+                    :, 0, :, 0
+                ]
+                self._tangent_mass = (
+                    jnp.asarray(a1 * m_scalar, dtype=self.solve_dtype)
+                    if a1 != 0.0
+                    else None
+                )
+                # Pallas matvec: one VMEM-resident FMA sweep per K block —
+                # pins the per-CG-iteration tangent apply at HBM bandwidth
+                # (~1.3 ms/GB on v5e) where the XLA lowering of the same
+                # contraction measures ~20 ms. Single-device TPU only
+                # (the GSPMD path keeps the plain-jax form XLA can shard).
+                self._tangent_pallas = False
+                n_cells = int(np.prod(space.mesh.reps))
+                if self.device_mesh is None:
+                    from ..ops.assembled_tangent import (
+                        _PALLAS_OK,
+                        apply_packed_tangents_pallas,
+                    )
+
+                    try:
+                        on_tpu = jax.default_backend() == "tpu"
+                    except Exception:  # noqa: BLE001
+                        on_tpu = False
+                    if _PALLAS_OK and on_tpu:
+                        bc = 512 if n_cells >= 512 else 128
+                        edofs = npc * dim
+                        try:
+                            z = jnp.zeros(
+                                (edofs, edofs, bc), dtype=self.solve_dtype
+                            )
+                            u0 = jnp.zeros((edofs, bc), dtype=self.solve_dtype)
+                            jax.block_until_ready(
+                                apply_packed_tangents_pallas(z, u0, bc)
+                            )
+                            self._tangent_pallas = True
+                            self._tangent_block_c = bc
+                            self._tangent_pad = (-n_cells) % bc
+                        except Exception:  # noqa: BLE001
+                            self._tangent_pallas = False
+        elif params.tangent_backend == "assembled":
+            raise ValueError(
+                "tangent_backend='assembled' requires type_lin='CG', "
+                "solve_dtype narrower than dtype (the mixed-precision inner "
+                "solve) and the structured element backend"
+            )
 
         # Jacobi preconditioner from the small-strain linearization at F = I:
         # c0 = lambda_eff IxI + 2 mu S with lambda_eff = kappa - 2 mu / dim,
@@ -647,16 +729,81 @@ class NonlinearElasticity:
                         # consistent tangent — just computed in f32
                         tdtype = self.solve_dtype
                         u_t = (state.displacement + c.delta).astype(tdtype)
-                        _, jvp_int = jax.linearize(self._int_force_t, u_t)
                         mask_t = self.mask_t
                         a1_t = 0.0 if self.quasi_static else self.alpha_1
 
-                        def K32(v):
-                            mv = mask_t * v
-                            Kv = jvp_int(mv)
-                            if not self.quasi_static:
-                                Kv = Kv + a1_t * self.M_t(mv)
-                            return self._shard(mask_t * Kv + (1.0 - mask_t) * v)
+                        if self._use_assembled:
+                            # materialize per-cell tangents once, then each
+                            # CG matvec is extract -> batched FMA sweep ->
+                            # overlap-add (one linear HBM pass over K)
+                            from ..ops.assembled_tangent import (
+                                apply_cell_tangents,
+                                apply_packed_tangents_pallas,
+                                assemble_cell_tangents,
+                                pack_cell_tangents,
+                            )
+                            from ..ops.structured import (
+                                extract_cell_patches_T,
+                                overlap_add_T,
+                            )
+
+                            deg = self.mesh.degree
+                            gs, rr = self._grid_shape, self._reps_rev
+                            Kc = assemble_cell_tangents(
+                                extract_cell_patches_T(
+                                    u_t.reshape(gs + (dim,)), deg, rr
+                                ),
+                                self._G_t, self._w_t, self.material,
+                                mass_term=self._tangent_mass,
+                            )
+                            if self._tangent_pallas:
+                                bc = self._tangent_block_c
+                                pad = self._tangent_pad
+                                Kp = pack_cell_tangents(Kc)
+                                if pad:
+                                    Kp = jnp.pad(
+                                        Kp, ((0, 0), (0, 0), (0, pad))
+                                    )
+                                npc_l = self.space.tab.n_nodes
+
+                                def _apply(pv):
+                                    c = pv.shape[-1]
+                                    p2 = pv.reshape(dim * npc_l, c)
+                                    if pad:
+                                        p2 = jnp.pad(p2, ((0, 0), (0, pad)))
+                                    o = apply_packed_tangents_pallas(
+                                        Kp, p2, bc
+                                    )[:, :c]
+                                    return o.reshape(dim, npc_l, c)
+
+                            else:
+
+                                def _apply(pv):
+                                    return apply_cell_tangents(Kc, pv)
+
+                            def K32(v):
+                                mv = mask_t * v
+                                pv = extract_cell_patches_T(
+                                    mv.reshape(gs + (dim,)), deg, rr
+                                )
+                                Kv = overlap_add_T(
+                                    _apply(pv), deg, rr, gs
+                                ).reshape(-1, dim)
+                                return self._shard(
+                                    mask_t * Kv + (1.0 - mask_t) * v
+                                )
+
+                        else:
+                            _, jvp_int = jax.linearize(self._int_force_t, u_t)
+
+                            def K32(v):
+                                mv = mask_t * v
+                                Kv = jvp_int(mv)
+                                if not self.quasi_static:
+                                    Kv = Kv + a1_t * self.M_t(mv)
+                                return self._shard(
+                                    mask_t * Kv + (1.0 - mask_t) * v
+                                )
 
                         tol = cg_tolerance().astype(tdtype)
                         r = cg_solve(

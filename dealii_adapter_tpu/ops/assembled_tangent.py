@@ -1,0 +1,297 @@
+"""Materialized per-cell Newton tangent for the nonlinear solver.
+
+The reference assembles the consistent tangent matrix once per Newton
+iteration and runs cheap sparse matvecs inside CG
+(`nonlinear_elasticity.cc:1044-1087` assembly, `:1167-1191` solve). Round-1
+of this framework instead re-linearized the internal force with
+`jax.linearize` and paid a full kinematics+constitutive pushforward per CG
+iteration (~30 ms at 1M DoF — the single largest per-iteration cost on TPU
+v5e). This module restores the reference's assemble-once structure in TPU
+form:
+
+  1. per quadrature point, the 1st-Piola-Kirchhoff tangent
+     A = dP/dF (dim^2 x dim^2) is obtained by `jax.linearize` of the
+     *pointwise* constitutive map P(grad u) — material + geometric terms in
+     one autodiff pass, no hand-derived elasticity tensor to get wrong;
+  2. the element tangents K_e[(d,i),(e,j), cell] are contracted from A with
+     a precomputed static basis tensor S[(i,j),(k,l,q)] via dim^2 MXU
+     matmuls (the QP loop of `nonlinear_elasticity.cc:1000-1035` as one
+     batched contraction);
+  3. each CG iteration then applies K as a fused multiply-add sweep with
+     the cell axis in lanes — one linear HBM pass over the (npc*dim)^2
+     block per cell (~1 GB at 1M DoF Q2, ~1.3 ms), instead of re-deriving
+     the physics.
+
+The operator is numerically identical to the `jax.linearize` tangent (same
+frozen linearization point), so Newton/CG behavior is unchanged — verified
+against the jvp path in tests/test_assembled_tangent.py.
+
+Layouts follow ops/structured.py: component-separated arrays with the huge
+cell axis trailing, so TPU (sublane, lane) tiling pads nothing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.material import kinematics_c
+
+
+def piola_flat(gflat, material):
+    """Pointwise constitutive map: flattened displacement gradient
+    (dim^2, ...) -> flattened 1st Piola-Kirchhoff stress P = tau F^{-T}
+    (dim^2, ...). Pure function of the gradient; its linearization is the
+    full material+geometric tangent."""
+    d2 = gflat.shape[0]
+    dim = {4: 2, 9: 3}[d2]
+    g = [[gflat[i * dim + j] for j in range(dim)] for i in range(dim)]
+    _, J, F_inv, b_bar = kinematics_c(g)
+    tau = material.tau_c(J, b_bar)
+    P = [
+        [
+            sum(tau[d][e] * F_inv[k][e] for e in range(dim))
+            for k in range(dim)
+        ]
+        for d in range(dim)
+    ]
+    return jnp.stack([P[d][k] for d in range(dim) for k in range(dim)])
+
+
+def piola_tangent_c(grad, material):
+    """Closed-form pointwise tangent A[(d,k),(e,l)] = dP_dk/dF_el for the
+    compressible Neo-Hookean model (`compressible_neo_hook_material.h`
+    physics), as one fused elementwise pass.
+
+    With Fi = F^{-1}, s = J^{-2/dim}, p = (kappa/2)(J^2-1), c2 = 2 c1 = mu,
+    trB = sum_ab F_ab^2:
+
+      A_dk,el = kappa J^2 Fi_le Fi_kd
+              + c2 s delta_de delta_kl
+              + (c2 s trB/dim - p) Fi_ld Fi_ke
+              - (2 c2 s/dim) (Fi_le F_dk + F_el Fi_kd)
+              + (2 c2 s trB/dim^2) Fi_le Fi_kd
+
+    (derived from P = tau F^{-T}; the F_dl Fi_ke cross-term and the
+    -P_dl Fi_ke geometric term combine into the symmetric Fi_ld Fi_ke
+    line). Exactly symmetric under (d,k) <-> (e,l): the Hessian of a
+    hyperelastic energy. Mirrored entries share the same array object, so
+    the symmetry is bitwise. Verified against the autodiff tangent in
+    tests/test_assembled_tangent.py.
+
+    grad: dim x dim nested list of (q, c) displacement-gradient components.
+    Returns the (dim^2, dim^2, q, c) stacked tangent.
+    """
+    dim = len(grad)
+    F = [
+        [grad[i][j] + (1.0 if i == j else 0.0) for j in range(dim)]
+        for i in range(dim)
+    ]
+    from ..models.material import det_and_inv_c
+
+    J, Fi = det_and_inv_c(F)
+    kappa, c2 = material.kappa, 2.0 * material.c1
+    s = J ** (-2.0 / dim)
+    p = 0.5 * kappa * (J * J - 1.0)
+    trB = sum(F[a][b] * F[a][b] for a in range(dim) for b in range(dim))
+    kJ2 = kappa * J * J + (2.0 * c2 / (dim * dim)) * (s * trB)
+    geo = (c2 / dim) * (s * trB) - p
+    c2s = c2 * s
+    two_d = 2.0 * c2 / dim
+
+    comps = {}
+    for d in range(dim):
+        for k in range(dim):
+            for e in range(dim):
+                for l_ in range(dim):
+                    if (e * dim + l_, d * dim + k) in comps:
+                        comps[(d * dim + k, e * dim + l_)] = comps[
+                            (e * dim + l_, d * dim + k)
+                        ]
+                        continue
+                    a = kJ2 * (Fi[l_][e] * Fi[k][d])
+                    a = a + geo * (Fi[l_][d] * Fi[k][e])
+                    a = a - two_d * (
+                        s * (Fi[l_][e] * F[d][k] + F[e][l_] * Fi[k][d])
+                    )
+                    if d == e and k == l_:
+                        a = a + c2s
+                    comps[(d * dim + k, e * dim + l_)] = a
+    d2 = dim * dim
+    return jnp.stack(
+        [
+            jnp.stack([comps[(m, n)] for n in range(d2)], axis=0)
+            for m in range(d2)
+        ],
+        axis=0,
+    )
+
+
+def assemble_cell_tangents(ut, G, w, material, mass_term=None,
+                           method="analytic"):
+    """Element tangent matrices from the current Newton iterate.
+
+    ut: (dim, npc, c) cell-patch displacements (same layout as the force
+        kernel `internal_force_cellwise_T`).
+    G:  (q, npc, dim) physical reference gradients, w: (q,) weights.
+    mass_term: optional (npc, npc) scalar matrix added to the diagonal
+        component blocks (alpha_1 * rho element mass for Newmark dynamics,
+        the `rho alpha_1 N_i N_j` term of `nonlinear_elasticity.cc:1030`).
+    method: "analytic" (closed-form A, one fused pass — production) or
+        "autodiff" (dim^2 jvp pushes through the linearized constitutive
+        map — the model-agnostic reference used to validate the closed
+        form; ~10x slower at 1M DoF).
+
+    Returns K as a dim x dim nested list of (npc, npc, c) arrays:
+    K[d][e][i, j, c] = dF_int[d,i,c] / du[e,j,c] for cell c.
+    """
+    dim, npc, c = ut.shape
+    q = G.shape[0]
+    dt = ut.dtype
+    # true-f32 matmuls: the default TPU f32 precision (one bf16 MXU pass,
+    # ~3e-3 rel error) would bake asymmetry into K — and CG requires SPD.
+    # Assembly runs once per Newton iteration, so the 3-pass cost is noise.
+    hi = jax.lax.Precision.HIGHEST
+
+    # displacement gradient per QP: grad[d][e] (q, c)
+    grad = [
+        [
+            jnp.dot(G[:, :, e], ut[d], precision=hi, preferred_element_type=dt)
+            for e in range(dim)
+        ]
+        for d in range(dim)
+    ]
+    d2 = dim * dim
+    if method == "analytic":
+        A = piola_tangent_c(grad, material)  # (d2_out, d2_in, q, c)
+    else:
+        # pointwise tangent A[(d,k), (e,l), q, c] = dP_dk/dF_el by pushing
+        # the dim^2 canonical directions through the linearized map
+        gflat = jnp.stack(
+            [grad[i][j] for i in range(dim) for j in range(dim)]
+        )
+        _, jvp = jax.linearize(lambda gg: piola_flat(gg, material), gflat)
+        eye = jnp.eye(d2, dtype=dt)
+        A = jnp.stack(
+            [
+                jvp(jnp.broadcast_to(eye[n][:, None, None], gflat.shape))
+                for n in range(d2)
+            ],
+            axis=1,
+        )  # (d2_out, d2_in, q, c)
+
+    # static contraction basis S[(i,j), (k,l,q)] = (w G)[q,i,k] G[q,j,l]
+    Gw = G * w[:, None, None]
+    S = jnp.einsum("qik,qjl->ijklq", Gw, G).reshape(npc * npc, d2 * q)
+    S = S.astype(dt)
+
+    # reorder A to (d, e, (k, l, q), c) and contract: dim^2 MXU matmuls
+    A = A.reshape(dim, dim, dim, dim, q, c)  # (d, k, e, l, q, c)
+    A = A.transpose(0, 2, 1, 3, 4, 5).reshape(dim, dim, d2 * q, c)
+    K = [
+        [
+            jnp.dot(
+                S, A[d, e], precision=hi, preferred_element_type=dt
+            ).reshape(npc, npc, c)
+            for e in range(dim)
+        ]
+        for d in range(dim)
+    ]
+
+    # exact symmetrization: the hyperelastic+mass tangent is symmetric, but
+    # the (d,i) and (e,j) entries above come from different summation
+    # orders, leaving O(eps) asymmetry that slowly poisons CG. One cheap
+    # pass restores K = K^T exactly.
+    K = [
+        [
+            0.5 * (K[d][e] + K[e][d].transpose(1, 0, 2))
+            for e in range(dim)
+        ]
+        for d in range(dim)
+    ]
+
+    if mass_term is not None:
+        m = jnp.asarray(mass_term, dtype=dt)[:, :, None]
+        K = [
+            [K[d][e] + m if d == e else K[d][e] for e in range(dim)]
+            for d in range(dim)
+        ]
+    return K
+
+
+def apply_cell_tangents(K, ut):
+    """out[d, i, c] = sum_{e,j} K[d][e][i, j, c] * ut[e, j, c].
+
+    Written as an unrolled FMA sweep (slices of K times broadcast rows of
+    ut) so XLA lowers it to one linear pass over K with the cell axis in
+    lanes — no dot_general with a trailing batch dim (which would transpose
+    the ~1 GB tangent every iteration)."""
+    dim, npc, c = ut.shape
+    outs = []
+    for d in range(dim):
+        acc = None
+        for e in range(dim):
+            Kde = K[d][e]
+            for j in range(npc):
+                term = Kde[:, j, :] * ut[e, j, :][None, :]
+                acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=0)
+
+
+def pack_cell_tangents(K):
+    """Nested-list K -> one (edofs, edofs, c) array, edof = d * npc + i
+    (component-major rows/cols). One concatenation pass at assembly time so
+    the per-CG-iteration Pallas kernel sees a single contiguous buffer."""
+    dim = len(K)
+    rows = [jnp.concatenate(K[d], axis=1) for d in range(dim)]
+    return jnp.concatenate(rows, axis=0)
+
+
+try:  # Pallas/Mosaic is TPU-only; import lazily like ops/pallas_structured
+    from jax.experimental import pallas as pl
+
+    _PALLAS_OK = True
+except Exception:  # noqa: BLE001
+    _PALLAS_OK = False
+
+
+def _matvec_kernel(k_ref, u_ref, o_ref):
+    edofs = k_ref.shape[0]
+    acc = None
+    for j in range(edofs):
+        term = k_ref[:, j, :] * u_ref[j, :][None, :]
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc
+
+
+def apply_packed_tangents_pallas(Kfull, u2, block_c=512, interpret=False):
+    """out (edofs, c) = sum_j Kfull[:, j, :] * u2[j, :] as a Pallas kernel:
+    grid over cell blocks, K block resident in VMEM, 1 FMA per loaded
+    element — pinned at HBM speed-of-light (~1.3 ms for the 1 GB tangent of
+    the 1M-DoF Q2 flap vs ~20 ms for the XLA lowering of the same
+    contraction). c must be a multiple of block_c (pad at assembly)."""
+    edofs, _, c = Kfull.shape
+    assert c % block_c == 0, (c, block_c)
+    grid = (c // block_c,)
+    return pl.pallas_call(
+        _matvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((edofs, edofs, block_c), lambda i: (0, 0, i)),
+            pl.BlockSpec((edofs, block_c), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((edofs, block_c), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((edofs, c), Kfull.dtype),
+        interpret=interpret,
+    )(Kfull, u2)
+
+
+def tangent_bytes(space, dtype) -> int:
+    """HBM footprint of the materialized tangent for a DofSpace."""
+    npc = space.tab.n_nodes
+    dim = space.dim
+    n_cells = 1
+    for r in space.mesh.reps:
+        n_cells *= r
+    return dim * dim * npc * npc * n_cells * jnp.dtype(dtype).itemsize

@@ -1,0 +1,178 @@
+"""Assembled per-cell tangent vs the `jax.linearize` tangent.
+
+The two backends must be the SAME linear operator (both freeze the
+linearization at the Newton iterate; `nonlinear_elasticity.cc:1044-1087`
+is the reference seam being re-provided). Kernel-level exactness is
+checked in f64; model-level equivalence checks Newton/CG behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dealii_adapter_tpu  # noqa: F401  (x64 config)
+from dealii_adapter_tpu.config import AllParameters
+from dealii_adapter_tpu.fem.tabulation import tabulate
+from dealii_adapter_tpu.mesh.generator import make_scenario_grid
+from dealii_adapter_tpu.models.material import NeoHookean
+from dealii_adapter_tpu.models.nonlinear_elasticity import (
+    NonlinearElasticity,
+    internal_force_cellwise_T,
+)
+from dealii_adapter_tpu.ops.assembled_tangent import (
+    apply_cell_tangents,
+    assemble_cell_tangents,
+    tangent_bytes,
+)
+
+
+@pytest.mark.parametrize("dim,degree", [(2, 1), (2, 2), (3, 1), (3, 2)])
+def test_cell_tangent_matches_linearize(dim, degree):
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :])
+    w = jnp.asarray(tab.q_weights * float(np.prod(h)))
+    npc, c = tab.n_nodes, 4
+    # amplitude small enough that det F > 0 everywhere (checked below);
+    # NaN poisoning would otherwise vacuously pass assert_allclose
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(0), (dim, npc, c), dtype=jnp.float64
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(1), (dim, npc, c), dtype=jnp.float64
+    )
+    m = jnp.asarray(
+        np.einsum("q,qi,qj->ij", np.asarray(w), tab.N, tab.N)
+    )
+
+    @jax.jit
+    def run(ut, vt):
+        minJ = internal_force_cellwise_T(ut, G, w, mat)[1]
+        _, jvp = jax.linearize(
+            lambda u: internal_force_cellwise_T(u, G, w, mat)[0], ut
+        )
+        ref = jvp(vt)
+        got = apply_cell_tangents(
+            assemble_cell_tangents(ut, G, w, mat), vt
+        )
+        got_auto = apply_cell_tangents(
+            assemble_cell_tangents(ut, G, w, mat, method="autodiff"), vt
+        )
+        got_m = apply_cell_tangents(
+            assemble_cell_tangents(ut, G, w, mat, mass_term=m), vt
+        )
+        ref_m = ref + jnp.einsum("ij,ejc->eic", m, vt)
+        return minJ, ref, got, got_auto, ref_m, got_m
+
+    minJ, ref, got, got_auto, ref_m, got_m = run(ut, vt)
+    assert float(minJ) > 0.0, "test state inverted an element"
+    assert np.isfinite(np.asarray(ref)).all()
+    scale = float(jnp.max(jnp.abs(ref)))
+    # closed-form (production) and autodiff (reference) paths, both vs the
+    # linearized force
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12 * scale)
+    np.testing.assert_allclose(got_auto, ref, rtol=0, atol=1e-12 * scale)
+    np.testing.assert_allclose(got_m, ref_m, rtol=0, atol=1e-12 * scale)
+
+
+def test_packed_pallas_matvec_interpret():
+    """pack + Pallas kernel == nested-list FMA sweep (interpret mode runs
+    the kernel on CPU)."""
+    from dealii_adapter_tpu.ops.assembled_tangent import (
+        apply_packed_tangents_pallas,
+        pack_cell_tangents,
+    )
+
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    dim, degree = 3, 1
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :], dtype=jnp.float32)
+    w = jnp.asarray(tab.q_weights * float(np.prod(h)), dtype=jnp.float32)
+    npc, c, bc = tab.n_nodes, 96, 32
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(2), (dim, npc, c), dtype=jnp.float32
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(3), (dim, npc, c), dtype=jnp.float32
+    )
+    K = assemble_cell_tangents(ut, G, w, mat)
+    ref = apply_cell_tangents(K, vt)
+    Kp = pack_cell_tangents(K)
+    got = apply_packed_tangents_pallas(
+        Kp, vt.reshape(dim * npc, c), block_c=bc, interpret=True
+    ).reshape(dim, npc, c)
+    # f32 with different summation order: roundoff-level agreement only
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5 * scale
+    )
+
+
+def _model(tangent_backend):
+    params = AllParameters(
+        model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,
+        poly_degree=2, delta_t=0.01, mu=0.5e6, nu=0.4, rho=1000.0,
+        tol_lin=1e-6, tol_u=1e-6, tol_f=1e-9, max_iterations_NR=10,
+        max_iterations_lin=1.0, dtype="float64",
+        solve_dtype="float32", preconditioner="MG",
+        precond_dtype="bfloat16", newton_forcing="ew",
+        newton_predictor=True, tangent_backend=tangent_backend,
+    )
+    mesh, tags = make_scenario_grid("PF", 3, 2, scale=1, solver="neo-Hookean")
+    return NonlinearElasticity(params, mesh=mesh, tags=tags)
+
+
+def test_model_step_equivalent_backends():
+    """Same trajectory and same-ballpark iteration counts for both
+    tangent backends on the production solver config."""
+    results = {}
+    for backend in ("jvp", "assembled"):
+        model = _model(backend)
+        assert model._use_assembled == (backend == "assembled")
+        stress_np = np.zeros((model.space.n_nodes, 3))
+        stress_np[model.space.boundary_nodes[model.interface_id], 0] = 1000.0
+        stress = jnp.asarray(stress_np, dtype=model.dtype)
+        state = model.initial_state()
+        for _ in range(2):
+            state, info = model.step(state, stress)
+            assert bool(info.converged)
+        results[backend] = (state, int(info.iterations), int(info.cg_iterations))
+
+    u_jvp = results["jvp"][0].displacement
+    u_asm = results["assembled"][0].displacement
+    err = float(
+        jnp.linalg.norm(u_asm - u_jvp) / jnp.linalg.norm(u_jvp)
+    )
+    # both paths solve the same Newton systems to the same tolerances;
+    # differences are inexact-Newton noise well below tol_u
+    assert err < 1e-6, err
+    assert results["assembled"][1] == results["jvp"][1]  # newton its
+
+
+def test_assembled_rejected_without_mixed_solve():
+    with pytest.raises(ValueError, match="assembled"):
+        params = AllParameters(
+            model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,
+            poly_degree=2, delta_t=0.01, mu=0.5e6, nu=0.4, rho=1000.0,
+            dtype="float64", solve_dtype="", tangent_backend="assembled",
+        )
+        mesh, tags = make_scenario_grid(
+            "PF", 3, 2, scale=1, solver="neo-Hookean"
+        )
+        NonlinearElasticity(params, mesh=mesh, tags=tags)
+
+
+def test_auto_falls_back_when_tangent_too_big():
+    params = AllParameters(
+        model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,
+        poly_degree=2, delta_t=0.01, mu=0.5e6, nu=0.4, rho=1000.0,
+        dtype="float64", solve_dtype="float32",
+        tangent_backend="auto", assembled_tangent_max_gb=1e-6,
+    )
+    mesh, tags = make_scenario_grid("PF", 3, 2, scale=1, solver="neo-Hookean")
+    model = NonlinearElasticity(params, mesh=mesh, tags=tags)
+    assert not model._use_assembled
+    assert tangent_bytes(model.space, jnp.float32) > 1e3

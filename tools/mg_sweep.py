@@ -12,6 +12,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import dealii_adapter_tpu  # noqa: F401
+
+
+def _enable_compile_cache():
+    # persistent XLA compile cache (same dir bench.py uses): first compiles
+    # at bench scale take minutes on the 1-core host, cached ones seconds
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_enable_compile_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np

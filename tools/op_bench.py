@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 import dealii_adapter_tpu  # noqa: F401
+
 from dealii_adapter_tpu.fem.dofspace import DofSpace
 from dealii_adapter_tpu.mesh.generator import subdivided_hyper_rectangle
 from dealii_adapter_tpu.ops.element_ops import ElementMatrices
@@ -23,6 +24,20 @@ from dealii_adapter_tpu.ops.pallas_structured import (
     make_pallas_q1_slab_operator,
 )
 from dealii_adapter_tpu.ops.structured import make_structured_operator
+
+
+def _enable_compile_cache():
+    # persistent XLA compile cache (same dir bench.py uses): first compiles
+    # at bench scale take minutes on the 1-core host, cached ones seconds
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+_enable_compile_cache()
 
 
 def timeit(fn, u, n=30):
