@@ -65,6 +65,12 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # Newmark constant-acceleration predictor start: measured 84 -> 73
         # total CG its/step at 185k DoF, identical trajectory
         newton_predictor=os.environ.get("BENCH_PREDICTOR", "1") == "1",
+        # looser first-iteration Eisenstat-Walker forcing: 27 -> 24 CG
+        # its/step at 1M with the semi-coarsened MG, same contract
+        ew_eta0=float(os.environ.get("BENCH_EW_ETA0", "0.3")),
+        # Pallas slab-fused Q1 operator inside the V-cycle (auto-falls back
+        # to the XLA formulation off-TPU): 1.416 -> 1.247 s/step at 1M
+        use_pallas=os.environ.get("BENCH_USE_PALLAS", "1") == "1",
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"
