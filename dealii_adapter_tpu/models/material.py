@@ -118,6 +118,51 @@ class NeoHookean:
         return Jc_vol + Jc_iso
 
 
+# -- fast f64 scalar kernels -------------------------------------------------
+#
+# TPU generations without native f64 (v5e) emulate f64 division and pow in
+# software at a large cost — measured ~40% of the 1M-DoF residual kernel.
+# Both are algebraic refinements away from cheap f32 seeds:
+#   reciprocal: two division-free Newton steps, r <- r (2 - d r), squares
+#     the f32 seed error (6e-8 -> 4e-15 -> f64 roundoff);
+#   J^(-2/3):   Newton on f(s) = s^-3 - J^2 (division-free form
+#     s <- s (4 - J^2 s^3) / 3), same quadratic convergence.
+# Used only on f64 inputs; f32 runs native XLA ops.
+
+
+def _refined_recip(d):
+    r = (1.0 / d.astype(jnp.float32)).astype(jnp.float64)
+    r = r * (2.0 - d * r)
+    r = r * (2.0 - d * r)
+    return r
+
+
+def _refined_pow_m23(J):
+    """J^(-2/3) for J > 0 (the dim=3 isochoric scale)."""
+    J2 = J * J
+    s = (J.astype(jnp.float32) ** (-2.0 / 3.0)).astype(jnp.float64)
+    third = 1.0 / 3.0
+    s = s * (4.0 - J2 * s * s * s) * third
+    s = s * (4.0 - J2 * s * s * s) * third
+    return s
+
+
+def _is_f64(x) -> bool:
+    try:
+        return jnp.result_type(x) == jnp.float64
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def iso_scale(J, dim: int):
+    """J^(-2/dim) with the fast-refined f64 path."""
+    if dim == 2:
+        return _refined_recip(J) if _is_f64(J) else 1.0 / J
+    if _is_f64(J):
+        return _refined_pow_m23(J)
+    return J ** (-2.0 / dim)
+
+
 # -- kinematics helpers (deal.II Physics::Elasticity::Kinematics analogs) ---
 
 
@@ -167,7 +212,7 @@ def det_and_inv_c(F):
     if dim == 2:
         (a, b), (c, e) = F
         det = a * e - b * c
-        inv_det = 1.0 / det
+        inv_det = _refined_recip(det) if _is_f64(det) else 1.0 / det
         return det, [[e * inv_det, -b * inv_det], [-c * inv_det, a * inv_det]]
     a = F
     c00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
@@ -180,7 +225,7 @@ def det_and_inv_c(F):
     c20 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
     c21 = a[0][2] * a[1][0] - a[0][0] * a[1][2]
     c22 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
-    inv_det = 1.0 / det
+    inv_det = _refined_recip(det) if _is_f64(det) else 1.0 / det
     inv = [
         [c00 * inv_det, c10 * inv_det, c20 * inv_det],
         [c01 * inv_det, c11 * inv_det, c21 * inv_det],
@@ -199,7 +244,7 @@ def kinematics_c(grad_u):
         for i in range(dim)
     ]
     J, F_inv = det_and_inv_c(F)
-    scale = J ** (-2.0 / dim)
+    scale = iso_scale(J, dim)
     b_bar = [
         [scale * sum(F[i][k] * F[j][k] for k in range(dim)) for j in range(dim)]
         for i in range(dim)

@@ -51,7 +51,7 @@ from ..solvers.cg import (
     estimate_lambda_max,
     jacobi_preconditioner,
 )
-from .material import NeoHookean, det_and_inv, kinematics_c
+from .material import NeoHookean, det_and_inv_c, kinematics_c
 
 
 def internal_force_cellwise_T(ut, G, w, material):
@@ -98,6 +98,28 @@ def internal_force_cellwise_T(ut, G, w, material):
         axis=0,
     )
     return rt, jnp.min(J)
+
+
+def _extract_line_patches(line: jnp.ndarray, p: int, nc: int) -> jnp.ndarray:
+    """(n_nodes_1d, dim) -> (dim, p+1, nc): 1D analog of
+    extract_cell_patches_T for the 2D model's boundary edges."""
+    dim = line.shape[-1]
+    sls = [
+        jax.lax.slice(line, (a, 0), (a + (nc - 1) * p + 1, dim), (p, 1))
+        for a in range(p + 1)
+    ]  # each (nc, dim)
+    return jnp.stack(sls, axis=0).transpose(2, 0, 1)
+
+
+def _overlap_add_line(
+    rf: jnp.ndarray, p: int, nc: int, n_nodes: int
+) -> jnp.ndarray:
+    """(dim, p+1, nc) -> (n_nodes, dim): transpose of _extract_line_patches."""
+    dim = rf.shape[0]
+    out = jnp.zeros((n_nodes, dim), dtype=rf.dtype)
+    for a in range(p + 1):
+        out = out.at[a : a + (nc - 1) * p + 1 : p].add(rf[:, a, :].T)
+    return out
 
 
 class NonlinearState(NamedTuple):
@@ -309,6 +331,57 @@ class NonlinearElasticity:
         )  # (n_if, nqf)
         fplan, _ = build_transpose_gather_plan(fnodes, space.n_nodes)
         self.face_plan = jnp.asarray(fplan)
+        # component-separated, faces-trailing copies for the hot Neumann
+        # evaluation: rank-4 (n_if, nqf, dim, dim) f64 intermediates tile
+        # their tiny (3, 3) tails to (8, 128) on TPU (~40x padding) and
+        # measured 26.7 ms for 3.2k faces at 1M DoF; the (nqf, n_if)
+        # component layout is sub-ms
+        fG = np.transpose(face_G[lf], (3, 1, 2, 0))  # (dim, nqf, npc, n_if)
+        self.face_G_T = jnp.asarray(fG, dtype=dt)
+        self.face_normal_T = jnp.asarray(
+            np.transpose(tab.face_normal_ref[lf]), dtype=dt
+        )  # (dim, n_if)
+        self.face_wJ_T = jnp.asarray(
+            (tab.face_q_weights[None, :] * areaJ[:, None]).T, dtype=dt
+        )  # (nqf, n_if)
+
+        # Structured (gather-free) Neumann path: on the scenario meshes
+        # every interface side covers a COMPLETE lattice side (verified
+        # below), so the Nanson pull-back evaluates via strided boundary
+        # slabs + shared face tabulations instead of per-face gathers.
+        # Measured at 1M DoF: the gather formulation costs ~25 ms/eval
+        # (TPU gathers + transpose-gather plan over all nodes); the slab
+        # formulation is ~2 ms. Falls back to gathers for custom meshes.
+        self._neumann_sides = None
+        if self._structured:
+            lf_np = np.asarray(faces[:, 1])
+            sides = []
+            complete = len(lf_np) > 0
+            for f in sorted(set(lf_np.tolist())):
+                axis, side01 = f // 2, f % 2
+                n_side = int(
+                    np.prod([r for a2, r in enumerate(self.mesh.reps) if a2 != axis])
+                )
+                if int((lf_np == f).sum()) != n_side:
+                    complete = False
+                    break
+                Nf_f = tab.face_N[f][:, tab.face_nodes[f]]  # (nqf, npf)
+                sides.append(
+                    dict(
+                        ga=dim - 1 - axis,  # grid axes are reversed
+                        side=side01,
+                        Gf=jnp.asarray(
+                            tab.face_dN[f] / h[None, None, :], dtype=dt
+                        ),
+                        Nf=jnp.asarray(Nf_f, dtype=dt),
+                        wf=jnp.asarray(
+                            tab.face_q_weights * (detJ / h[axis]), dtype=dt
+                        ),
+                        normal=tuple(float(x) for x in tab.face_normal_ref[f]),
+                    )
+                )
+            if complete:
+                self._neumann_sides = sides
 
         # Dirichlet mask (`nonlinear_elasticity.cc:1094-1150`)
         self.mask = jnp.asarray(
@@ -587,24 +660,147 @@ class NonlinearElasticity:
         (`nonlinear_elasticity.cc:791-859`): the interface traction field
         (spatial) scaled by ||J F^{-T} N|| and integrated in the reference
         configuration. F is stop_gradient-ed: the reference's tangent omits
-        the Neumann linearization."""
-        dim = u.shape[-1]
-        ucell = u[self.face_cell_conn]  # (n_if, npc, dim)
-        grad_u = jnp.einsum("fnd,fqne->fqde", ucell, self.face_G)
-        grad_u = jax.lax.stop_gradient(grad_u)
-        F = grad_u + jnp.eye(dim, dtype=grad_u.dtype)
-        Jf, F_inv = det_and_inv(F)
-        n_star = Jf[..., None] * jnp.einsum(
-            "fqkd,fk->fqd", F_inv, self.face_normal
-        )  # J F^{-T} N
-        scale = jnp.sqrt(jnp.sum(n_star**2, axis=-1))  # (n_if, nqf)
+        the Neumann linearization. Dispatches to the strided-slab path when
+        the interface decomposes into complete lattice sides."""
+        if self._neumann_sides is not None:
+            return self._external_force_structured(u, stress)
+        return self._external_force_gather(u, stress)
 
-        t_nodes = stress[self.face_nodes]  # (n_if, npf, dim)
-        t_q = jnp.einsum("qj,fjd->fqd", self.face_Nf, t_nodes)
-        t_ref = t_q * scale[..., None]
-        rf = jnp.einsum("fq,qj,fqd->fjd", self.face_wJ, self.face_Nf, t_ref)
+    def _external_force_structured(
+        self, u: jnp.ndarray, stress: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Gather-free Nanson pull-back: per complete lattice side, the
+        boundary cell slab is a strided slice, the face tabulation is shared
+        by every face of the side (uniform cells), and the result
+        overlap-adds onto the boundary plane — no TPU gathers anywhere."""
+        from ..ops.structured import extract_cell_patches_T, overlap_add_T
+
+        dim = u.shape[-1]
+        p = self.space.mesh.degree
+        gs, rr = self._grid_shape, self._reps_rev
+        u_grid = u.reshape(gs + (dim,))
+        s_grid = stress.reshape(gs + (dim,))
+        out = jnp.zeros(gs + (dim,), dtype=u.dtype)
+        for side in self._neumann_sides:
+            ga, sd = side["ga"], side["side"]
+            Gf, Nf, wf = side["Gf"], side["Nf"], side["wf"]
+            normal = side["normal"]
+            vol_sl = [slice(None)] * dim
+            vol_sl[ga] = slice(0, p + 1) if sd == 0 else slice(-(p + 1), None)
+            slab = u_grid[tuple(vol_sl)]
+            slab_reps = list(rr)
+            slab_reps[ga] = 1
+            ut = jax.lax.stop_gradient(
+                extract_cell_patches_T(slab, p, tuple(slab_reps))
+            )  # (dim, npc, cs)
+            grad = [
+                [
+                    jnp.dot(Gf[:, :, e], ut[d], preferred_element_type=u.dtype)
+                    for e in range(dim)
+                ]
+                for d in range(dim)
+            ]
+            F = [
+                [grad[i][j] + (1.0 if i == j else 0.0) for j in range(dim)]
+                for i in range(dim)
+            ]
+            Jf, F_inv = det_and_inv_c(F)
+            n_star = [
+                Jf
+                * sum(
+                    F_inv[k][d] * normal[k]
+                    for k in range(dim)
+                    if normal[k] != 0.0
+                )
+                for d in range(dim)
+            ]
+            scale = jnp.sqrt(sum(n_star[d] ** 2 for d in range(dim)))
+
+            pl_sl = list(vol_sl)
+            pl_sl[ga] = 0 if sd == 0 else -1
+            plane = s_grid[tuple(pl_sl)]  # plane axes + (dim,)
+            plane_shape = tuple(n for a2, n in enumerate(gs) if a2 != ga)
+            plane_reps = tuple(r for a2, r in enumerate(rr) if a2 != ga)
+            if dim == 3:
+                tn = extract_cell_patches_T(plane, p, plane_reps)
+            else:
+                tn = _extract_line_patches(plane, p, plane_reps[0])
+            hi = jax.lax.Precision.HIGHEST
+            wscale = wf[:, None] * scale
+            rf = jnp.stack(
+                [
+                    jnp.dot(
+                        Nf.T,
+                        wscale * jnp.dot(Nf, tn[d], precision=hi),
+                        precision=hi,
+                    )
+                    for d in range(dim)
+                ],
+                axis=0,
+            )  # (dim, npf, cs)
+            if dim == 3:
+                contrib = overlap_add_T(rf, p, plane_reps, plane_shape)
+            else:
+                contrib = _overlap_add_line(rf, p, plane_reps[0], plane_shape[0])
+            out = out.at[tuple(pl_sl)].add(contrib)
+        return out.reshape(-1, dim)
+
+    def _external_force_gather(
+        self, u: jnp.ndarray, stress: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Gather-based fallback (custom meshes / partial sides).
+
+        Component-separated (nqf, n_if) layout throughout — see the
+        face_G_T setup comment for why the tensor-shaped formulation is
+        ~50x slower on TPU."""
+        dim = u.shape[-1]
+        conn = self.face_cell_conn  # (n_if, npc)
+        # grad[d][e] (nqf, n_if) = sum_n face_G_T[e][q, n, f] * u_d[conn][f, n]
+        uc = [
+            jax.lax.stop_gradient(u[:, d][conn].T) for d in range(dim)
+        ]  # (npc, n_if) each
+        npc = conn.shape[1]
+        grad = [
+            [
+                sum(
+                    self.face_G_T[e, :, n, :] * uc[d][n][None, :]
+                    for n in range(npc)
+                )
+                for e in range(dim)
+            ]
+            for d in range(dim)
+        ]
+        F = [
+            [grad[i][j] + (1.0 if i == j else 0.0) for j in range(dim)]
+            for i in range(dim)
+        ]
+        Jf, F_inv = det_and_inv_c(F)
+        # n_star[d] = J * sum_k F_inv[k][d] * N_k  (J F^{-T} N)
+        n_star = [
+            Jf
+            * sum(
+                F_inv[k][d] * self.face_normal_T[k][None, :]
+                for k in range(dim)
+            )
+            for d in range(dim)
+        ]
+        scale = jnp.sqrt(sum(n_star[d] ** 2 for d in range(dim)))  # (nqf, n_if)
+
+        # traction at face QPs: t_q[d] (nqf, n_if) = face_Nf @ stress_d[fnodes]
+        hi = jax.lax.Precision.HIGHEST
+        tn = [stress[:, d][self.face_nodes].T for d in range(dim)]  # (npf, n_if)
+        wscale = self.face_wJ_T * scale
+        rf = [
+            jnp.dot(
+                self.face_Nf.T,
+                wscale * jnp.dot(self.face_Nf, tn[d], precision=hi),
+                precision=hi,
+            )
+            for d in range(dim)
+        ]  # (npf, n_if) each
         n_if, npf = self.face_nodes.shape
-        return apply_plan(rf.reshape(n_if * npf, dim), self.face_plan)
+        rcell = jnp.stack(rf, axis=-1).transpose(1, 0, 2)  # (n_if, npf, dim)
+        return apply_plan(rcell.reshape(n_if * npf, dim), self.face_plan)
 
     def residual(
         self,
