@@ -62,6 +62,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # total CG its per step at 185k DoF with the same tol_u/tol_f
         newton_forcing=os.environ.get("BENCH_FORCING", "ew"),
         mg_smooth_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
+        # weaker fine-level smoothing (the FEM-SEM Q1 level overlaps the
+        # fine smoother spectrally): 1.25 -> 1.07 s/step at 1M, 24->25 its
+        mg_fine_smooth_degree=int(os.environ.get("BENCH_MG_FINE_DEGREE", "2")),
         # Newmark constant-acceleration predictor start: measured 84 -> 73
         # total CG its/step at 185k DoF, identical trajectory
         newton_predictor=os.environ.get("BENCH_PREDICTOR", "1") == "1",

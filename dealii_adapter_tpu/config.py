@@ -107,6 +107,10 @@ class AllParameters(
     cheb_degree: int = 4
     cheb_eig_ratio: float = 30.0
     mg_smooth_degree: int = 2  # Chebyshev smoothing steps per MG level visit
+    # Chebyshev degree for the FINEST level only (0 = mg_smooth_degree);
+    # with the same-resolution FEM-SEM Q1 level below it, the fine smoother
+    # can often run weaker — and it is the costliest level to smooth
+    mg_fine_smooth_degree: int = 0
     mg_coarse_size: int = 4000  # dense-solve threshold (DoFs) for the MG base
     # True (default): FEM-SEM first coarse level (Q1 on the same node
     # lattice). Measured on the 3D flap tangent: 188 CG its/step vs 322 for

@@ -232,6 +232,7 @@ class LinearElastodynamics:
                 lmbda=c * params.lmbda, mu=c * params.mu,
                 mass_coeff=params.rho, dtype=pdt,
                 smooth_degree=params.mg_smooth_degree,
+                smooth_degree_fine=params.mg_fine_smooth_degree,
                 coarse_size=params.mg_coarse_size,
                 fem_sem=params.mg_fem_sem,
                 use_pallas=params.use_pallas,

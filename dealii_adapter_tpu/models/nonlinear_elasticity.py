@@ -606,6 +606,7 @@ class NonlinearElasticity:
                 lmbda=lam_eff, mu=params.mu,
                 mass_coeff=a1 * params.rho, dtype=pdt,
                 smooth_degree=params.mg_smooth_degree,
+                smooth_degree_fine=params.mg_fine_smooth_degree,
                 coarse_size=params.mg_coarse_size,
                 fem_sem=params.mg_fem_sem,
                 use_pallas=params.use_pallas,

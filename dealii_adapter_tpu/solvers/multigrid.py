@@ -147,6 +147,7 @@ class GeometricMultigrid:
         mu: float,
         mass_coeff: float = 0.0,
         smooth_degree: int = 2,
+        smooth_degree_fine: int = 0,
         coarse_size: int = 4000,
         dtype=jnp.float64,
         fine_lam_max: Optional[float] = None,
@@ -163,6 +164,12 @@ class GeometricMultigrid:
         operators include the same reaction term."""
         self.dtype = dtype
         self.smooth_degree = smooth_degree
+        # optional weaker smoothing on the finest level only: with a
+        # FEM-SEM first coarse level at the SAME resolution, the fine
+        # Chebyshev overlaps spectrally with the Q1 level's smoother, so
+        # the fine level can often run 1-2 degrees cheaper (it is the most
+        # expensive level to smooth). 0 = same as smooth_degree.
+        self.smooth_degree_fine = smooth_degree_fine or smooth_degree
         # classic FEM-SEM preconditioning: with a same-resolution Q1 first
         # coarse level, fine-level smoothing is spectrally redundant — the
         # Q1 level can smooth the whole upper spectrum. Skipping the fine
@@ -399,13 +406,14 @@ class GeometricMultigrid:
                 lv, b, jnp.zeros_like(b), self.smooth_degree * 2,
                 x_is_zero=True,
             )
+        deg = self.smooth_degree_fine if li == 0 else self.smooth_degree
         x = _chebyshev_smooth(
-            lv, b, jnp.zeros_like(b), self.smooth_degree, x_is_zero=True
+            lv, b, jnp.zeros_like(b), deg, x_is_zero=True
         )
         r = b - lv.operator(x)
         ec = self._vcycle(li + 1, self._restrict(li, r))
         x = x + self._prolong(li, ec)
-        return _chebyshev_smooth(lv, b, x, self.smooth_degree)
+        return _chebyshev_smooth(lv, b, x, deg)
 
     def __call__(self, r):
         """One symmetric V-cycle. Input/output follow the caller's dtype;
