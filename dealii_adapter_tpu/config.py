@@ -157,6 +157,10 @@ class AllParameters(
     # linearization — identical Newton/CG behavior.
     tangent_backend: str = "auto"  # "auto" | "assembled" | "jvp"
     assembled_tangent_max_gb: float = 6.0
+    # "highest": true-f32 assembly matmuls; "default": single-bf16-pass MXU
+    # (the assembled K stays exactly symmetric either way — see
+    # ops/assembled_tangent.py)
+    tangent_assembly_precision: str = "highest"
 
     def __post_init__(self):
         self.finalize()

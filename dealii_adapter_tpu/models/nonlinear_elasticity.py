@@ -952,6 +952,7 @@ class NonlinearElasticity:
                                 ),
                                 self._G_t, self._w_t, self.material,
                                 mass_term=self._tangent_mass,
+                                precision=params.tangent_assembly_precision,
                             )
                             if self._tangent_pallas:
                                 bc = self._tangent_block_c

@@ -128,7 +128,7 @@ def piola_tangent_c(grad, material):
 
 
 def assemble_cell_tangents(ut, G, w, material, mass_term=None,
-                           method="analytic"):
+                           method="analytic", precision="highest"):
     """Element tangent matrices from the current Newton iterate.
 
     ut: (dim, npc, c) cell-patch displacements (same layout as the force
@@ -137,6 +137,11 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
     mass_term: optional (npc, npc) scalar matrix added to the diagonal
         component blocks (alpha_1 * rho element mass for Newmark dynamics,
         the `rho alpha_1 N_i N_j` term of `nonlinear_elasticity.cc:1030`).
+    precision: "highest" = true-f32 matmuls (6 MXU passes, exact to f32);
+        "default" = single bf16 MXU pass (~3e-3 entry error). The explicit
+        symmetrization below keeps K exactly symmetric either way, so
+        "default" trades a bounded inexact-Newton perturbation for ~3x
+        cheaper assembly.
     method: "analytic" (closed-form A, one fused pass — production) or
         "autodiff" (dim^2 jvp pushes through the linearized constitutive
         map — the model-agnostic reference used to validate the closed
@@ -148,10 +153,11 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
     dim, npc, c = ut.shape
     q = G.shape[0]
     dt = ut.dtype
-    # true-f32 matmuls: the default TPU f32 precision (one bf16 MXU pass,
-    # ~3e-3 rel error) would bake asymmetry into K — and CG requires SPD.
-    # Assembly runs once per Newton iteration, so the 3-pass cost is noise.
-    hi = jax.lax.Precision.HIGHEST
+    hi = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
     # displacement gradient per QP: grad[d][e] (q, c)
     grad = [

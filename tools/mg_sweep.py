@@ -89,6 +89,7 @@ VARIANTS = {
     "ew4predpal": dict(newton_forcing="ew", mg_smooth_degree=4, precond_dtype="bfloat16", newton_predictor=True, use_pallas=True),
     "e03palf1": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=1, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
     "e03palf2": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=2, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
+    "e03palf2pd": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=2, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True, tangent_assembly_precision="default"),
     "cheb": dict(preconditioner="Chebyshev", cheb_degree=4),
     "jac": dict(preconditioner="Jacobi"),
 }
