@@ -82,7 +82,16 @@ def build_model(scale, dtype, degree, device_mesh=None):
 
 
 def run_steps(model, n_steps, magnitude=1000.0):
-    """Returns (wall seconds for n_steps, diagnostics)."""
+    """Returns (wall seconds for n_steps, diagnostics).
+
+    Timing is hardened against async-dispatch holes (round-2 verdict: the
+    driver's run recorded a ~6700x-too-fast number because
+    ``jax.block_until_ready`` returned early on the experimental axon
+    backend): every timed step ends with a HOST READBACK of a scalar that
+    is data-dependent on the step's output (``float(jnp.vdot(...))``
+    cannot produce bytes on the host without the device execution having
+    completed), and per-step wall times are recorded individually.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,11 +105,19 @@ def run_steps(model, n_steps, magnitude=1000.0):
     # warmup: compile + first step (excluded from timing)
     state, info = model.step(state, stress)
     jax.block_until_ready(state)
+    float(jnp.vdot(state.displacement, state.displacement))
+
     diags = []
+    step_times = []
+    checksums = []
     t0 = time.perf_counter()
     for _ in range(n_steps):
+        ts = time.perf_counter()
         state, info = model.step(state, stress)
-    jax.block_until_ready(state)
+        # host readback derived from the result: forces completion on
+        # device AND transfer of the derived scalar before the clock stops
+        checksums.append(float(jnp.vdot(state.displacement, state.displacement)))
+        step_times.append(time.perf_counter() - ts)
     elapsed = time.perf_counter() - t0
     diags.append(
         dict(
@@ -109,9 +126,62 @@ def run_steps(model, n_steps, magnitude=1000.0):
             converged=bool(info.converged),
             min_det_F=float(info.min_det_F),
             max_u=float(jnp.max(jnp.abs(state.displacement))),
+            step_times=[round(t, 4) for t in step_times],
+            checksum=checksums[-1],
         )
     )
+    _plausibility_guard(model, state, stress, diags[-1], step_times)
     return elapsed, diags
+
+
+def _plausibility_guard(model, state, stress, diag, step_times):
+    """Fail loudly if the measured per-step time is below a floor derived
+    from independently timed solver components (round-2 verdict item 1:
+    nothing used to cross-check elapsed-per-step against physics).
+
+    A Newmark step provably contains >= newton_its full-precision residual
+    evaluations, so `0.5 * newton_its * t_residual` (0.5 = generous safety
+    margin for timer noise) is a hard lower bound on any honest step time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    zero = jnp.zeros_like(state.displacement)
+
+    @jax.jit
+    def one_residual(d, st, s):
+        r, _ = model.residual(d, st, s)
+        return jnp.vdot(r, r)
+
+    float(one_residual(zero, state, stress))  # compile
+    t_res = min(
+        _timed(lambda: float(one_residual(zero, state, stress)))
+        for _ in range(3)
+    )
+    floor = 0.5 * max(1, diag["newton_its"]) * t_res
+    per_step = min(step_times)
+    print(
+        f"bench guard: t_residual={t_res*1e3:.1f} ms, newton_its="
+        f"{diag['newton_its']}, floor={floor*1e3:.1f} ms/step, measured "
+        f"min={per_step*1e3:.1f} ms/step",
+        file=sys.stderr,
+    )
+    if per_step < floor:
+        print(
+            f"bench: FAILED plausibility guard — measured {per_step:.4f} "
+            f"s/step is below the component-derived floor {floor:.4f} s "
+            f"({diag['newton_its']} residual evals x {t_res:.4f} s x 0.5 "
+            "margin). The timing harness did not observe real execution; "
+            "refusing to report.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
+def _timed(fn):
+    t = time.perf_counter()
+    fn()
+    return time.perf_counter() - t
 
 
 def _enable_compile_cache():
@@ -189,6 +259,14 @@ def main():
         cpu16 = base.get(
             "cpu16_mdof_steps_per_s_est", cpu1 * max(1.0, 16.0 / cores)
         )
+        if base.get("n_dofs") != model.space.n_dofs:
+            print(
+                f"bench: WARNING baseline n_dofs={base.get('n_dofs')} != "
+                f"bench n_dofs={model.space.n_dofs}; vs_baseline mixes "
+                "problem sizes (regenerate with BENCH_MAKE_CPU_BASELINE=1 "
+                f"BENCH_SCALE={scale})",
+                file=sys.stderr,
+            )
         if cpu1:
             vs_measured = value / cpu1
         if cpu16:
@@ -205,6 +283,8 @@ def main():
                 "vs_baseline": round(vs16, 3),
                 # raw multiplier vs the measured CPU-backend proxy
                 "vs_cpu_measured": round(vs_measured, 3),
+                "s_per_step": round(elapsed / n_steps, 4),
+                "n_dofs": model.space.n_dofs,
             }
         )
     )
