@@ -157,6 +157,15 @@ class AllParameters(
     # linearization — identical Newton/CG behavior.
     tangent_backend: str = "auto"  # "auto" | "assembled" | "jvp"
     assembled_tangent_max_gb: float = 6.0
+    # sum-factorized f64 residual/mass contractions on 3D structured
+    # meshes (ops/sumfact.py): per-axis 1D stages instead of dense
+    # (q, npc) tabulation matmuls — ~13x fewer emulated-f64 multiplies,
+    # same physics to roundoff. Default OFF: measured 2x SLOWER per step
+    # on v5e at 1M DoF (1.64 vs 0.82 s/step) — the many small-leading-dim
+    # stage einsums lose to one large MXU-shaped (q, npc) matmul despite
+    # the flop advantage. Kept as an opt-in for TPU generations with
+    # native f64 (flop-bound there) and as the Q3+ scaling path.
+    use_sumfact: bool = False
     # "highest": true-f32 assembly matmuls; "default": single-bf16-pass MXU
     # (the assembled K stays exactly symmetric either way — see
     # ops/assembled_tangent.py)

@@ -272,6 +272,7 @@ class NonlinearElasticity:
         # consistent mass (reference-configuration, constant) for the
         # inertia term; rho=0 or quasi_static disables it
         elem = ElementMatrices(space, 0.0, 0.0, params.rho)
+        self._sumfact = None
         if use_shardmap:
             self.M = ShardedOperator(
                 part=self._part,
@@ -298,10 +299,22 @@ class NonlinearElasticity:
                 make_structured_operator,
             )
 
-            self.M = make_structured_operator(space, elem.M_e, dt)
             self._grid_shape = _grid_shape(space)
             self._reps_rev = _cells_shape(space)
             self._sharded_internal = None
+            # sum-factorized f64 kernels (3D): the dense (q, npc)
+            # tabulation matmuls are emulated-f64 compute-bound on TPU;
+            # the per-axis 1D stage form cuts their multiplies ~13x
+            if dim == 3 and params.use_sumfact:
+                from ..ops.sumfact import (
+                    make_sumfact_basis,
+                    make_sumfact_mass_operator,
+                )
+
+                self._sumfact = make_sumfact_basis(tab, h, dt)
+                self.M = make_sumfact_mass_operator(space, params.rho, dt)
+            else:
+                self.M = make_structured_operator(space, elem.M_e, dt)
         else:
             self.M = make_operator(space, elem.M_e, dt)
             self._sharded_internal = None
@@ -642,9 +655,16 @@ class NonlinearElasticity:
             p = self.space.mesh.degree
             u_grid = u.reshape(self._grid_shape + (dim,))
             ut = extract_cell_patches_T(u_grid, p, self._reps_rev)
-            rt, min_J = internal_force_cellwise_T(
-                ut, self.G, self.w, self.material
-            )
+            if self._sumfact is not None:
+                from ..ops.sumfact import internal_force_cellwise_sumfact
+
+                rt, min_J = internal_force_cellwise_sumfact(
+                    ut, self._sumfact, self.material
+                )
+            else:
+                rt, min_J = internal_force_cellwise_T(
+                    ut, self.G, self.w, self.material
+                )
             r = overlap_add_T(rt, p, self._reps_rev, self._grid_shape)
             return r.reshape(-1, dim), min_J
         n_cells, npc = self.cells.shape
@@ -848,7 +868,14 @@ class NonlinearElasticity:
             )
 
         def norm(v):
-            return jnp.sqrt(jnp.vdot(v.ravel(), v.ravel()))
+            # Norms steer decisions only through *ratios* (res_rel, upd_rel,
+            # Eisenstat-Walker eta) and threshold comparisons, so ~1e-7
+            # relative accuracy suffices; an f32 reduction of the (exact,
+            # f64) vector costs ~0.3 ms where the emulated-f64 vdot costs
+            # ~8.7 ms at 1M DoF (measured, v5e). The vector itself stays
+            # f64 — only the norm accumulation is narrowed.
+            v32 = v.astype(jnp.float32).ravel()
+            return jnp.sqrt(jnp.vdot(v32, v32)).astype(self.dtype)
 
         def newton_solve(state, stress):
             def rhs_fn(delta):

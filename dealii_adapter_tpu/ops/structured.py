@@ -130,13 +130,82 @@ def overlap_add(rcell: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray
     return out
 
 
+def _phase_view(u_grid: jnp.ndarray, p: int, reps_rev):
+    """Reshape the lattice axes into (cells+1, phase) pairs: axis of
+    n = nc*p + 1 nodes -> (nc+1, p) with node i at [i // p, i % p].
+
+    Stride-p patch slices of the lattice become *contiguous* slices of
+    this view: offset a in [0, p] is phase a % p, start a // p. This kills
+    the two TPU-hostile access patterns of the naive formulation — 27
+    stride-p slices on extraction and 81 interior-dilated `lax.pad`s on
+    the transpose — replacing them with one boundary pad + reshape per
+    axis and contiguous windows (measured: the dominant cost of the f64
+    extract/overlap pair at 1M DoF was these dilated ops)."""
+    ndim = len(reps_rev)
+    out = u_grid
+    # process lattice axes last-to-first so earlier axis indices stay
+    # valid; each phase axis is parked at the end, so the trailing phase
+    # axes end up in REVERSED lattice order: (.., ph_{ndim-1}, .., ph_0)
+    for ax in range(ndim - 1, -1, -1):
+        nc = reps_rev[ax]
+        n = out.shape[ax]
+        pad = (nc + 1) * p - n  # = p - 1
+        cfg = [(0, 0, 0)] * out.ndim
+        cfg[ax] = (0, pad, 0)
+        out = jax.lax.pad(out, jnp.zeros((), out.dtype), cfg)
+        shape = out.shape[:ax] + (nc + 1, p) + out.shape[ax + 1 :]
+        out = out.reshape(shape)
+        out = jnp.moveaxis(out, ax + 1, -1)
+    return out  # (nc_0+1, .., nc_{ndim-1}+1, ..orig trailing.., ph_{ndim-1}, .., ph_0)
+
+
 def extract_cell_patches_T(u_grid: jnp.ndarray, p: int, reps_rev) -> jnp.ndarray:
     """(..grid.., dim) -> (dim, npc, n_cells): same strided slicing as
     `extract_cell_patches` but with the *cell* index trailing. On TPU the
     last two dims of a buffer are tiled to (sublane, 128); putting the huge
     cell axis last keeps padding negligible, whereas the (n_cells, npc, dim)
     layout tiles the tiny (npc, dim) tail and can inflate HBM footprint by
-    more than an order of magnitude at ~1M DoF."""
+    more than an order of magnitude at ~1M DoF.
+
+    For p >= 2 the patches are taken through the contiguous phase view
+    (see `_phase_view`) instead of stride-p slices."""
+    if p >= 2:
+        return _extract_cell_patches_T_ph(u_grid, p, reps_rev)
+    return _extract_cell_patches_T_strided(u_grid, p, reps_rev)
+
+
+def _extract_cell_patches_T_ph(u_grid, p, reps_rev):
+    dim = u_grid.shape[-1]
+    ndim = len(reps_rev)
+    n_cells = int(np.prod(reps_rev))
+    ph = _phase_view(u_grid, p, reps_rev)
+    # ph axes: (nc_0+1, .., nc_{n-1}+1, dim, ph_0, .., ph_{n-1})
+    patches = []
+    offs = (
+        [(b, a) for b in range(p + 1) for a in range(p + 1)]
+        if ndim == 2
+        else [
+            (c, b, a)
+            for c in range(p + 1)
+            for b in range(p + 1)
+            for a in range(p + 1)
+        ]
+    )
+    for off in offs:
+        idx = []
+        for ax, (o, nc) in enumerate(zip(off, reps_rev)):
+            idx.append(slice(o // p, o // p + nc))
+        sel = ph[tuple(idx)]  # (nc_0, .., nc_{n-1}, dim, p, .., p)
+        # trailing phase axes are in reversed lattice order (_phase_view)
+        sel = sel[(...,) + tuple(o % p for o in reversed(off))]
+        patches.append([sel[..., d].reshape(n_cells) for d in range(dim)])
+    rows = [
+        jnp.stack([pt[d] for pt in patches], axis=0) for d in range(dim)
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def _extract_cell_patches_T_strided(u_grid: jnp.ndarray, p: int, reps_rev) -> jnp.ndarray:
     dim = u_grid.shape[-1]
     ndim = len(reps_rev)
     n_cells = 1
@@ -185,9 +254,56 @@ def extract_cell_patches_T(u_grid: jnp.ndarray, p: int, reps_rev) -> jnp.ndarray
 
 def overlap_add_T(rt: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray:
     """(dim, npc, n_cells) -> (..grid.., dim): adjoint of
-    `extract_cell_patches_T`. Accumulates one scalar lattice per component
-    (all big intermediates keep the large axes trailing), stacking into the
-    canonical (..grid.., dim) nodal layout only at the end."""
+    `extract_cell_patches_T`. For p >= 2, accumulates per phase class with
+    boundary-only pads and interleaves once per axis (the exact adjoint of
+    the phase-view extraction); for p = 1, interior-dilated pads."""
+    if p >= 2:
+        return _overlap_add_T_ph(rt, p, reps_rev, grid_shape)
+    return _overlap_add_T_dilated(rt, p, reps_rev, grid_shape)
+
+
+def _overlap_add_T_ph(rt: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray:
+    dim, npc, n_cells = rt.shape
+    ndim = len(reps_rev)
+    zero = jnp.zeros((), dtype=rt.dtype)
+    offs = (
+        [(b, a) for b in range(p + 1) for a in range(p + 1)]
+        if ndim == 2
+        else [
+            (c, b, a)
+            for c in range(p + 1)
+            for b in range(p + 1)
+            for a in range(p + 1)
+        ]
+    )
+    comps = []
+    for d in range(dim):
+        acc = {}
+        for slot, off in enumerate(offs):
+            block = rt[d, slot].reshape(reps_rev)
+            cfg = [
+                (o // p, 1 - o // p, 0) for o, nc in zip(off, reps_rev)
+            ]  # boundary pad to nc+1 at start o // p
+            blockp = jax.lax.pad(block, zero, cfg)
+            key = tuple(o % p for o in off)
+            acc[key] = blockp if key not in acc else acc[key] + blockp
+        keys = sorted(acc)  # lexicographic: flat phase = q0*p^.. + .. + q_last
+        A = jnp.stack([acc[k] for k in keys], axis=-1)
+        A = A.reshape(tuple(nc + 1 for nc in reps_rev) + (p,) * ndim)
+        # interleave trailing phase axes (ph_0, .., ph_{ndim-1}) back into
+        # their lattice axes, innermost lattice axis first
+        for ax in range(ndim - 1, -1, -1):
+            A = jnp.moveaxis(A, -1, ax + 1)
+            shape = A.shape[:ax] + (A.shape[ax] * p,) + A.shape[ax + 2 :]
+            A = A.reshape(shape)
+            A = jax.lax.slice_in_dim(A, 0, grid_shape[ax], axis=ax)
+        comps.append(A)
+    return jnp.stack(comps, axis=-1)
+
+
+def _overlap_add_T_dilated(rt: jnp.ndarray, p: int, reps_rev, grid_shape) -> jnp.ndarray:
+    """Interior-dilated-pad formulation (exact adjoint of the stride-p
+    slice extraction); used for p = 1 where phases degenerate."""
     dim, npc, n_cells = rt.shape
     ndim = len(reps_rev)
     comps = []

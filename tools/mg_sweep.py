@@ -54,14 +54,20 @@ def run_variant(scale, **overrides):
     stress = jnp.asarray(stress_np, dtype=model.dtype)
     state = model.initial_state()
     state, info = model.step(state, stress)  # warmup/compile
-    jax.block_until_ready(state)
+    # host readback closes the async pipeline honestly (block_until_ready
+    # alone can return early on the axon backend — round-2 lesson)
+    float(jnp.vdot(state.displacement, state.displacement))
     t0 = time.perf_counter()
-    state2, info2 = model.step(state, stress)
-    jax.block_until_ready(state2)
-    dt_s = time.perf_counter() - t0
+    cg2 = 0
+    for _ in range(2):
+        state, info2 = model.step(state, stress)
+        float(jnp.vdot(state.displacement, state.displacement))
+        cg2 += int(info2.cg_iterations)
+    dt_s = (time.perf_counter() - t0) / 2
     return dict(
-        newton=int(info2.iterations), cg=int(info2.cg_iterations),
+        newton=int(info2.iterations), cg=cg2 // 2,
         converged=bool(info2.converged), seconds=round(dt_s, 3),
+        max_u=float(jnp.max(jnp.abs(state.displacement))),
     )
 
 
@@ -90,6 +96,13 @@ VARIANTS = {
     "e03palf1": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=1, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
     "e03palf2": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=2, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
     "e03palf2pd": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=2, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True, tangent_assembly_precision="default"),
+    # p+h first coarse level (no FEM-SEM) under the current production
+    # extras — revisits the round-2 "p+h is worse" result now that
+    # semi-coarsening + EW forcing changed the hierarchy economics
+    "e03ph": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fem_sem=False, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
+    "e03phf4": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=4, mg_fem_sem=False, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
+    # dense-tabulation f64 formulation (sumfact off) for A/B timing
+    "e03nosf": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True, use_sumfact=False),
     "cheb": dict(preconditioner="Chebyshev", cheb_degree=4),
     "jac": dict(preconditioner="Jacobi"),
 }
