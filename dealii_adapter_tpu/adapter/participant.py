@@ -192,6 +192,205 @@ class FakeParticipant:
         self.finalized = True
 
 
+class SurrogateFluidParticipant:
+    """Closed-loop in-process coupling partner: a surrogate *fluid* whose
+    read data depends on the displacement the solid writes.
+
+    This exercises the physics the reference exists for — two-way implicit
+    FSI through the preCICE protocol (`adapter.h:447-489`, README.md:5-10)
+    — without libprecice: each coupling window is repeated until a real
+    convergence measure on the exchanged displacement is met (preCICE's
+    ``<relative-convergence-measure limit="eps">``), optionally accelerated
+    with Aitken underrelaxation (``<acceleration:aitken>``), so the number
+    of implicit iterations per window is convergence-determined, not fixed.
+
+    The fluid law maps the current interface-displacement estimate to the
+    stress the solid reads::
+
+        stress = stress_fn(t, coords, u_relaxed)
+
+    e.g. an added-mass piston / elastic-foundation law
+    ``sigma = sigma0(t) - k * u`` creates a genuine two-way fixed point
+    ``u* = S(sigma(u*))`` (S = the solid's one-window solve), the kind of
+    loop whose stability is why implicit coupling schemes exist.
+
+    Fixed-point iteration with relaxation on the displacement estimate::
+
+        u_tilde_k = written displacement at window end (iteration k)
+        r_k       = u_tilde_k - u_relaxed_{k-1}              (residual)
+        converged = ||r_k|| <= eps * ||u_tilde_k||  (after >= 2 its)
+        omega_k   = initial_relaxation                        (k = 1)
+                  = -omega_{k-1} * <r_{k-1}, r_k - r_{k-1}>
+                               / ||r_k - r_{k-1}||^2          (Aitken)
+        u_relaxed_k = u_relaxed_{k-1} + omega_k * r_k
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        window_dt: float,
+        end_time: float,
+        stress_fn: Callable[[float, np.ndarray, np.ndarray], np.ndarray],
+        eps: float = 1e-8,
+        max_iterations: int = 50,
+        acceleration: str = "aitken",  # "aitken" | "constant"
+        initial_relaxation: float = 0.5,
+        requires_initial_data: bool = False,
+    ):
+        assert acceleration in ("aitken", "constant")
+        self.dim = dim
+        self.window_dt = float(window_dt)
+        self.end_time = float(end_time)
+        self.stress_fn = stress_fn
+        self.eps = float(eps)
+        self.max_iterations = int(max_iterations)
+        self.acceleration = acceleration
+        self.initial_relaxation = float(initial_relaxation)
+        self._requires_initial_data = requires_initial_data
+
+        self.coords: Optional[np.ndarray] = None
+        self.initialized = False
+        self.finalized = False
+        self.window_start = 0.0
+        self.time_in_window = 0.0
+        self.iteration = 1
+        self._window_complete = False
+        self._needs_write_checkpoint = False
+        self._needs_read_checkpoint = False
+
+        self._u_relaxed: Optional[np.ndarray] = None  # current estimate
+        self._r_prev: Optional[np.ndarray] = None  # previous residual
+        self._omega = self.initial_relaxation
+        self._last_written: Optional[np.ndarray] = None
+
+        # per-window implicit iteration counts (test observability)
+        self.iterations_per_window: List[int] = []
+        self.omega_history: List[float] = []
+
+    # -- mesh access ------------------------------------------------------
+
+    def getMeshDimensions(self, mesh_name: str) -> int:
+        return self.dim
+
+    def setMeshVertices(self, mesh_name: str, coords: np.ndarray) -> np.ndarray:
+        assert not self.initialized, "setMeshVertices after initialize"
+        coords = np.asarray(coords, dtype=np.float64).reshape(-1, self.dim)
+        self.coords = coords
+        self._u_relaxed = np.zeros_like(coords)
+        return np.arange(coords.shape[0], dtype=np.int32)
+
+    # -- steering ---------------------------------------------------------
+
+    def requiresInitialData(self) -> bool:
+        return self._requires_initial_data and not self.initialized
+
+    def initialize(self) -> None:
+        assert self.coords is not None, "initialize before setMeshVertices"
+        self.initialized = True
+        self._needs_write_checkpoint = True
+
+    def isCouplingOngoing(self) -> bool:
+        return self.initialized and not self.finalized and (
+            self.window_start < self.end_time - _EPS
+        )
+
+    def getMaxTimeStepSize(self) -> float:
+        return self.window_dt - self.time_in_window
+
+    def isTimeWindowComplete(self) -> bool:
+        return self._window_complete
+
+    def requiresWritingCheckpoint(self) -> bool:
+        if self._needs_write_checkpoint:
+            self._needs_write_checkpoint = False
+            return True
+        return False
+
+    def requiresReadingCheckpoint(self) -> bool:
+        if self._needs_read_checkpoint:
+            self._needs_read_checkpoint = False
+            return True
+        return False
+
+    # -- data -------------------------------------------------------------
+
+    def readData(self, mesh_name, data_name, ids, relative_dt) -> np.ndarray:
+        assert self.initialized
+        t = self.window_start + self.time_in_window + float(relative_dt)
+        return np.asarray(
+            self.stress_fn(t, self.coords[ids], self._u_relaxed[ids]),
+            dtype=np.float64,
+        )
+
+    def writeData(self, mesh_name, data_name, ids, values) -> None:
+        vals = np.asarray(values, dtype=np.float64).reshape(-1, self.dim)
+        if self._last_written is None:
+            self._last_written = np.zeros((len(self.coords), self.dim))
+        self._last_written[ids] = vals
+
+    # -- stepping ---------------------------------------------------------
+
+    def advance(self, dt: float) -> None:
+        assert self.initialized and not self.finalized
+        assert dt <= self.getMaxTimeStepSize() + _EPS, (
+            f"dt={dt} exceeds remaining window {self.getMaxTimeStepSize()}"
+        )
+        self.time_in_window += float(dt)
+        self._window_complete = False
+        if self.time_in_window < self.window_dt - _EPS:
+            return  # mid-window subcycle: nothing to decide yet
+
+        # window boundary: convergence measure on the exchanged data
+        u_tilde = self._last_written
+        assert u_tilde is not None, "advance without writeData"
+        r = u_tilde - self._u_relaxed
+        norm_r = float(np.linalg.norm(r))
+        norm_u = float(np.linalg.norm(u_tilde))
+        # preCICE requires at least one repeat before declaring convergence
+        # (the measure compares successive iterations)
+        converged = self.iteration > 1 and norm_r <= self.eps * max(
+            norm_u, 1e-30
+        )
+        if not converged and self.iteration >= self.max_iterations:
+            raise RuntimeError(
+                f"implicit coupling did not converge in "
+                f"{self.max_iterations} iterations (|r|={norm_r:.3e}, "
+                f"rel={norm_r / max(norm_u, 1e-30):.3e})"
+            )
+
+        if converged:
+            self.iterations_per_window.append(self.iteration)
+            self._window_complete = True
+            self.window_start += self.window_dt
+            self.time_in_window = 0.0
+            self.iteration = 1
+            self._r_prev = None
+            self._omega = self.initial_relaxation
+            # the converged displacement seeds the next window's estimate
+            self._u_relaxed = u_tilde.copy()
+            if self.isCouplingOngoing():
+                self._needs_write_checkpoint = True
+        else:
+            if self.acceleration == "aitken" and self._r_prev is not None:
+                dr = r - self._r_prev
+                denom = float(np.vdot(dr, dr))
+                if denom > 0.0:
+                    self._omega = -self._omega * float(
+                        np.vdot(self._r_prev, dr)
+                    ) / denom
+                    # preCICE clamps Aitken factors to a sane range
+                    self._omega = float(np.clip(self._omega, -10.0, 10.0))
+            self.omega_history.append(self._omega)
+            self._u_relaxed = self._u_relaxed + self._omega * r
+            self._r_prev = r
+            self.iteration += 1
+            self.time_in_window = 0.0
+            self._needs_read_checkpoint = True
+
+    def finalize(self) -> None:
+        self.finalized = True
+
+
 class PreciceParticipant:
     """Thin binding to real pyprecice (preCICE v3). Import-gated: this
     image has no libprecice; construction raises with guidance unless
