@@ -21,7 +21,11 @@ multiplier, the round-1 definition). Regenerate the baseline with
 BENCH_MAKE_CPU_BASELINE=1 python bench.py.
 
 Env knobs: BENCH_SCALE (mesh multiplier, default 9 -> ~1.02M DoF),
-BENCH_STEPS (timed steps, default 3), BENCH_DTYPE, BENCH_DEGREE.
+BENCH_STEPS (timed steps, default 3), BENCH_DTYPE, BENCH_DEGREE,
+BENCH_MODEL ("nonlinear" default; "linear" benches the theta-scheme
+linear-elastodynamics solver — BASELINE.md config 2: 3D Q2 ~100k DoF,
+`ir_cg_solve` to the reference's absolute 1e-10 contract, default
+BENCH_SCALE 4).
 """
 
 import json
@@ -81,6 +85,38 @@ def build_model(scale, dtype, degree, device_mesh=None):
     return NonlinearElasticity(params, mesh=mesh, tags=tags, device_mesh=device_mesh)
 
 
+def build_linear_model(scale, dtype, degree, device_mesh=None):
+    """BASELINE.md config 2: 3D linear flap, Q2, ~100k DoF (scale 4), the
+    theta-scheme velocity solve of `linear_elasticity.cc:525-575` with the
+    hardcoded ABSOLUTE 1e-10 CG contract (`linear_elasticity.cc:542-543`)
+    met by f64 iterative refinement around f32 CG (`solvers/cg.py`)."""
+    from dealii_adapter_tpu.config import AllParameters
+    from dealii_adapter_tpu.mesh.generator import make_scenario_grid
+    from dealii_adapter_tpu.models.linear_elasticity import LinearElastodynamics
+
+    params = AllParameters(
+        model="linear",
+        type_lin="CG",
+        scenario="PF",
+        dim=3,
+        poly_degree=degree,
+        delta_t=0.005,
+        theta=0.5,
+        mu=0.5e6,
+        nu=0.4,
+        rho=1000.0,
+        dtype=dtype,
+        preconditioner=os.environ.get("BENCH_PRECOND", "MG"),
+        precond_dtype=os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16"),
+        solve_dtype=os.environ.get("BENCH_SOLVE_DTYPE", "float32"),
+        mg_smooth_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
+        mg_fine_smooth_degree=int(os.environ.get("BENCH_MG_FINE_DEGREE", "2")),
+        use_pallas=os.environ.get("BENCH_USE_PALLAS", "1") == "1",
+    )
+    mesh, tags = make_scenario_grid("PF", 3, degree, scale=scale, solver="linear")
+    return LinearElastodynamics(params, mesh=mesh, tags=tags, device_mesh=device_mesh)
+
+
 def run_steps(model, n_steps, magnitude=1000.0):
     """Returns (wall seconds for n_steps, diagnostics).
 
@@ -119,17 +155,25 @@ def run_steps(model, n_steps, magnitude=1000.0):
         checksums.append(float(jnp.vdot(state.displacement, state.displacement)))
         step_times.append(time.perf_counter() - ts)
     elapsed = time.perf_counter() - t0
-    diags.append(
-        dict(
+    diag = dict(
+        max_u=float(jnp.max(jnp.abs(state.displacement))),
+        step_times=[round(t, 4) for t in step_times],
+        checksum=checksums[-1],
+    )
+    if hasattr(info, "cg_iterations"):  # nonlinear StepInfo
+        diag.update(
             newton_its=int(info.iterations),
             cg_its=int(info.cg_iterations),
             converged=bool(info.converged),
             min_det_F=float(info.min_det_F),
-            max_u=float(jnp.max(jnp.abs(state.displacement))),
-            step_times=[round(t, 4) for t in step_times],
-            checksum=checksums[-1],
         )
-    )
+    else:  # linear StepInfo: CG its + final absolute residual
+        diag.update(
+            newton_its=1,
+            cg_its=int(info.iterations),
+            residual=float(info.residual),
+        )
+    diags.append(diag)
     _plausibility_guard(model, state, stress, diags[-1], step_times)
     return elapsed, diags
 
@@ -142,27 +186,41 @@ def _plausibility_guard(model, state, stress, diag, step_times):
     A Newmark step provably contains >= newton_its full-precision residual
     evaluations, so `0.5 * newton_its * t_residual` (0.5 = generous safety
     margin for timer noise) is a hard lower bound on any honest step time.
+    For the linear model the bound is the cg_its Krylov operator
+    applications of the theta-scheme solve.
     """
     import jax
     import jax.numpy as jnp
 
     zero = jnp.zeros_like(state.displacement)
 
-    @jax.jit
-    def one_residual(d, st, s):
-        r, _ = model.residual(d, st, s)
-        return jnp.vdot(r, r)
+    if hasattr(model, "residual"):  # nonlinear: f64 residual evaluations
 
-    float(one_residual(zero, state, stress))  # compile
+        @jax.jit
+        def one_component(d):
+            r, _ = model.residual(d, state, stress)
+            return jnp.vdot(r, r)
+
+        n_evals = max(1, diag["newton_its"])
+    else:  # linear: stepping-operator applications inside CG
+        A_lo = model.A_lo
+        zero = zero.astype(model.solve_dtype)
+
+        @jax.jit
+        def one_component(d):
+            return jnp.vdot(A_lo(d), d)
+
+        n_evals = max(1, diag["cg_its"])
+
+    float(one_component(zero))  # compile
     t_res = min(
-        _timed(lambda: float(one_residual(zero, state, stress)))
-        for _ in range(3)
+        _timed(lambda: float(one_component(zero))) for _ in range(3)
     )
-    floor = 0.5 * max(1, diag["newton_its"]) * t_res
+    floor = 0.5 * n_evals * t_res
     per_step = min(step_times)
     print(
-        f"bench guard: t_residual={t_res*1e3:.1f} ms, newton_its="
-        f"{diag['newton_its']}, floor={floor*1e3:.1f} ms/step, measured "
+        f"bench guard: t_component={t_res*1e3:.1f} ms, n_evals={n_evals}, "
+        f"floor={floor*1e3:.1f} ms/step, measured "
         f"min={per_step*1e3:.1f} ms/step",
         file=sys.stderr,
     )
@@ -170,7 +228,7 @@ def _plausibility_guard(model, state, stress, diag, step_times):
         print(
             f"bench: FAILED plausibility guard — measured {per_step:.4f} "
             f"s/step is below the component-derived floor {floor:.4f} s "
-            f"({diag['newton_its']} residual evals x {t_res:.4f} s x 0.5 "
+            f"({n_evals} component evals x {t_res:.4f} s x 0.5 "
             "margin). The timing harness did not observe real execution; "
             "refusing to report.",
             file=sys.stderr,
@@ -201,17 +259,27 @@ def main():
 
     _enable_compile_cache()
 
-    scale = int(os.environ.get("BENCH_SCALE", "9"))
+    bench_model = os.environ.get("BENCH_MODEL", "nonlinear")
+    assert bench_model in ("nonlinear", "linear"), bench_model
+    build = build_model if bench_model == "nonlinear" else build_linear_model
+    scale = int(
+        os.environ.get("BENCH_SCALE", "9" if bench_model == "nonlinear" else "4")
+    )
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))
     dtype = os.environ.get("BENCH_DTYPE", "float64")
     degree = int(os.environ.get("BENCH_DEGREE", "2"))
 
-    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    baseline_path = os.path.join(
+        os.path.dirname(__file__),
+        "bench_baseline.json"
+        if bench_model == "nonlinear"
+        else "bench_baseline_linear.json",
+    )
 
     if os.environ.get("BENCH_MAKE_CPU_BASELINE"):
         jax.config.update("jax_platforms", "cpu")
         cores = os.cpu_count() or 1
-        model = build_model(scale, dtype, degree)
+        model = build(scale, dtype, degree)
         mdof = model.space.n_dofs / 1e6
         elapsed, diags = run_steps(model, max(1, n_steps))
         val = mdof * max(1, n_steps) / elapsed
@@ -238,10 +306,11 @@ def main():
         print(json.dumps(rec), file=sys.stderr)
         return
 
-    model = build_model(scale, dtype, degree)
+    model = build(scale, dtype, degree)
     mdof = model.space.n_dofs / 1e6
     print(
-        f"bench: {model.space.n_dofs} DoF, platform={jax.devices()[0].platform}, "
+        f"bench: model={bench_model}, {model.space.n_dofs} DoF, "
+        f"platform={jax.devices()[0].platform}, "
         f"dtype={dtype}, degree={degree}, steps={n_steps}",
         file=sys.stderr,
     )
@@ -275,7 +344,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "nonlinear_flap_3d_mdof_newmark_steps_per_s",
+                "metric": (
+                    "nonlinear_flap_3d_mdof_newmark_steps_per_s"
+                    if bench_model == "nonlinear"
+                    else "linear_flap_3d_mdof_theta_steps_per_s"
+                ),
                 "value": round(value, 4),
                 "unit": "MDoF*steps/s",
                 # conservative: vs IDEAL 16-core scaling of the CPU proxy
