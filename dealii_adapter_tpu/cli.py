@@ -23,6 +23,25 @@ import time as _time
 import numpy as np
 
 
+def _vcs_revision() -> str:
+    """Short git revision of the installed tree, or 'unknown' outside a
+    checkout — the banner parity of `elasticity.cc:32-44` /
+    `CMakeLists.txt:46-51` (the reference bakes GIT_SHORTREV in at
+    configure time; we resolve it at launch)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=5,
+        )
+        rev = out.stdout.strip()
+        return rev if out.returncode == 0 and rev else "unknown"
+    except (OSError, subprocess.SubprocessError):
+        return "unknown"
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="dealii_adapter_tpu",
@@ -80,7 +99,8 @@ def main(argv=None) -> int:
     # `elasticity.cc:19-44`)
     devs = jax.devices()
     print("-" * 58)
-    print(f"--     . running dealii_adapter_tpu v{dat.__version__}")
+    print(f"--     . running dealii_adapter_tpu v{dat.__version__}"
+          f" (rev {_vcs_revision()})")
     print(f"--     . platform {devs[0].platform} with {len(devs)} device(s)")
     print(f"--     . model '{params.model}', scenario {params.scenario}, "
           f"dim {params.dim}, degree {params.poly_degree}")
