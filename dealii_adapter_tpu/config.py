@@ -112,6 +112,10 @@ class AllParameters(
     # can often run weaker — and it is the costliest level to smooth
     mg_fine_smooth_degree: int = 0
     mg_coarse_size: int = 4000  # dense-solve threshold (DoFs) for the MG base
+    # Q1 level-operator backend: "auto" | "stencil" (assembled 27-point
+    # stencil, ops/stencil.py) | "pallas" (slab-fused per-cell kernel) |
+    # "xla" (per-cell extract -> MXU matmul -> overlap-add)
+    mg_level_backend: str = "auto"
     # True (default): FEM-SEM first coarse level (Q1 on the same node
     # lattice). Measured on the 3D flap tangent: 188 CG its/step vs 322 for
     # combined p+h coarsening — the cheaper cycles do not pay for the lost
@@ -157,6 +161,16 @@ class AllParameters(
     # linearization — identical Newton/CG behavior.
     tangent_backend: str = "auto"  # "auto" | "assembled" | "jvp"
     assembled_tangent_max_gb: float = 6.0
+    # Newton residual precision schedule: "mixed" evaluates the residual
+    # in f32 for iterations whose accuracy target sits far above the
+    # measured f32 noise floor (floor calibrated at iteration 0 by
+    # evaluating both precisions once), f64 otherwise. The convergence
+    # contract (dual rel/abs rule, `nonlinear_elasticity.cc:459-463`) is
+    # always decided on iterations at f64 accuracy: an f32 residual's
+    # additive noise floor cannot falsely read below 1e-9 relative, and
+    # the schedule switches to f64 within 30x of the floor. "f64" forces
+    # every evaluation to full precision.
+    newton_residual: str = "mixed"  # "mixed" | "f64"
     # sum-factorized f64 residual/mass contractions on 3D structured
     # meshes (ops/sumfact.py): per-axis 1D stages instead of dense
     # (q, npc) tabulation matmuls — ~13x fewer emulated-f64 multiplies,

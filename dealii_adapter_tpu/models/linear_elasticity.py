@@ -237,6 +237,7 @@ class LinearElastodynamics:
                 fem_sem=params.mg_fem_sem,
                 use_pallas=params.use_pallas,
                 skip_fine_smoothing=params.mg_skip_fine_smoothing,
+                level_backend=params.mg_level_backend,
                 device_mesh=device_mesh if self._gspmd else None,
                 shard_axis=self._shard_axis or "shards",
             )

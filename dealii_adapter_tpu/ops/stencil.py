@@ -1,0 +1,301 @@
+"""Assembled 27-point stencil form of the Q1 structured operator.
+
+On a uniform tensor-product lattice the ASSEMBLED Q1 operator is
+translation-invariant in the interior: out[n] = sum_{delta in {-1,0,1}^d}
+S[delta] @ u[n + delta], with S[delta] = sum over element-matrix slot
+pairs (i, j) with off_j - off_i = delta. That replaces the per-cell
+slot-pair formulation (576 FMA/cell + extract/overlap data movement,
+`ops/structured.py` / `ops/pallas_structured.py`) with 27 shifted
+elementwise FMAs over the nodal lattice (243 FMA/node in 3D) that XLA
+fuses into one pass — the MXU/lane-friendly layout for the multigrid Q1
+level operators (the dominant V-cycle cost at bench scale).
+
+Boundary exactness comes from inclusion-exclusion over ghost cells: the
+interior stencil applied to the zero-padded lattice overcounts exactly
+the couplings of ghost cells (cells of the one-cell-extended lattice)
+between their REAL nodes, and the ghost-cell layers factor by axis:
+
+    out = S3conv(u)  - sum_faces   S2conv(face plane of u)
+                     + sum_edges   S1conv(edge line of u)
+                     - sum_corners C @ u[corner]
+
+where the face/edge/corner stencils are the element matrix restricted to
+slot pairs lying on the shared face/edge/corner (e.g. the z-low face
+uses pairs with z-offset 1 on both slots: the ghost cell below the
+domain touches only the bottom node plane). All corrections are
+O(surface) work on planes/lines/points.
+
+Replaces the deal.II sparse SpMV consumed by the reference CG solvers
+(`linear_elasticity.cc:536-555`; assembly `:276-345`) for the Q1 levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofspace import DofSpace
+from .structured import _grid_shape
+
+
+def _slots(ndim: int):
+    """Q1 local-node offsets in tabulation order (x fastest), as tuples in
+    GRID axis order (slowest first): 3D -> (z, y, x)."""
+    if ndim == 2:
+        return [(b, a) for b in (0, 1) for a in (0, 1)]
+    return [(c, b, a) for c in (0, 1) for b in (0, 1) for a in (0, 1)]
+
+
+def q1_stencil_tables(E: np.ndarray, ndim: int, dim: int):
+    """Build the interior + boundary-correction stencil tables from the
+    node-major (npc*dim, npc*dim) Q1 element matrix.
+
+    Returns (S3, faces, edges, corners):
+      S3: (3,)*ndim + (dim, dim) interior stencil, index [delta+1]
+      faces: {(axis, side): (3,)*(ndim-1) + (dim, dim)} per boundary face
+      edges: {(axes, sides): (3,)*(ndim-2) + (dim, dim)} (3D only; in 2D
+             these are the corner table)
+      corners: {corner_sides: (dim, dim)}
+    side/sides entries are 0 (low boundary) or 1 (high boundary). A ghost
+    cell BELOW the domain shares its TOP nodes (slot offset 1) with the
+    real lattice, so side 0 restricts slots to offset 1 and vice versa.
+    """
+    offs = _slots(ndim)
+    npc = len(offs)
+    E4 = np.asarray(E, dtype=np.float64).reshape(npc, dim, npc, dim)
+
+    S3 = np.zeros((3,) * ndim + (dim, dim))
+    for i, oi in enumerate(offs):
+        for j, oj in enumerate(offs):
+            d = tuple(oj[k] - oi[k] + 1 for k in range(ndim))
+            S3[d] += E4[i, :, j, :]
+
+    def restricted(fixed):
+        """Stencil over the free axes from slot pairs pinned on `fixed`
+        axes: {axis: side} with side 0 => slot offset 1 (ghost below)."""
+        free = [k for k in range(ndim) if k not in fixed]
+        T = np.zeros((3,) * len(free) + (dim, dim))
+        for i, oi in enumerate(offs):
+            if any(oi[k] != (1 - s) for k, s in fixed.items()):
+                continue
+            for j, oj in enumerate(offs):
+                if any(oj[k] != (1 - s) for k, s in fixed.items()):
+                    continue
+                d = tuple(oj[k] - oi[k] + 1 for k in free)
+                T[d] += E4[i, :, j, :]
+        return T
+
+    faces = {}
+    for ax in range(ndim):
+        for side in (0, 1):
+            faces[(ax, side)] = restricted({ax: side})
+
+    edges = {}
+    corners = {}
+    if ndim == 3:
+        for ax1 in range(ndim):
+            for ax2 in range(ax1 + 1, ndim):
+                for s1 in (0, 1):
+                    for s2 in (0, 1):
+                        edges[((ax1, ax2), (s1, s2))] = restricted(
+                            {ax1: s1, ax2: s2}
+                        )
+        for s0 in (0, 1):
+            for s1 in (0, 1):
+                for s2 in (0, 1):
+                    corners[(s0, s1, s2)] = restricted(
+                        {0: s0, 1: s1, 2: s2}
+                    )
+    else:
+        for s0 in (0, 1):
+            for s1 in (0, 1):
+                corners[(s0, s1)] = restricted({0: s0, 1: s1})
+    return S3, faces, edges, corners
+
+
+def _conv_nd(g: jnp.ndarray, S: np.ndarray, compute_dtype) -> jnp.ndarray:
+    """Zero-padded stencil convolution: g is (*lattice, dim), S is
+    (3,)*nd + (dim, dim); out[..., d] = sum_delta,e S[delta, d, e] *
+    g[.. + delta, e]. Expressed as shifted scalar FMAs so XLA fuses the
+    whole thing into one elementwise pass."""
+    nd = g.ndim - 1
+    dim = g.shape[-1]
+    shape = g.shape[:-1]
+    gp = jnp.pad(g.astype(compute_dtype), [(1, 1)] * nd + [(0, 0)])
+    comps = [None] * dim
+    for delta in np.ndindex(*(3,) * nd):
+        W = S[delta]
+        if not np.any(W):
+            continue
+        win = gp[
+            tuple(slice(d, d + n) for d, n in zip(delta, shape))
+        ]
+        for d in range(dim):
+            acc = None
+            for e in range(dim):
+                w = float(W[d, e])
+                if w == 0.0:
+                    continue
+                t = w * win[..., e]
+                acc = t if acc is None else acc + t
+            if acc is not None:
+                comps[d] = acc if comps[d] is None else comps[d] + acc
+    zero = jnp.zeros(shape, dtype=compute_dtype)
+    return jnp.stack([c if c is not None else zero for c in comps], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilQ1Operator:
+    """Same call surface as StructuredOperator (p=1 only): `__call__` on a
+    (n_nodes, dim) field, plus `diagonal()`. Exact — bit-equivalent
+    arithmetic is not promised (different summation order) but the result
+    matches the per-cell formulation to roundoff (tested)."""
+
+    tables: tuple  # hashable host copy: nested tuples of the 4 table sets
+    ndim: int
+    dim: int
+    grid_shape: Tuple[int, ...]
+    dtype_name: str
+
+    # -- construction ---------------------------------------------------
+
+    @staticmethod
+    def build(space: DofSpace, E: np.ndarray, dtype=jnp.float64):
+        if space.mesh.degree != 1:
+            raise ValueError("StencilQ1Operator requires degree-1 meshes")
+        ndim = space.dim
+        S3, faces, edges, corners = q1_stencil_tables(E, ndim, space.dim)
+
+        def h(a):
+            return tuple(map(tuple, np.asarray(a).reshape(-1, a.shape[-1])))
+
+        # store raw bytes via .tobytes() is unhashable-unfriendly; keep
+        # nested tuples keyed in deterministic order
+        faces_t = tuple(
+            (k, h(v)) for k, v in sorted(faces.items())
+        )
+        edges_t = tuple((k, h(v)) for k, v in sorted(edges.items()))
+        corners_t = tuple((k, h(v)) for k, v in sorted(corners.items()))
+        return StencilQ1Operator(
+            tables=(h(S3), faces_t, edges_t, corners_t),
+            ndim=ndim,
+            dim=space.dim,
+            grid_shape=_grid_shape(space),
+            dtype_name=str(jnp.dtype(dtype)),
+        )
+
+    def _unpack(self):
+        dim = self.dim
+        nd = self.ndim
+        S3_t, faces_t, edges_t, corners_t = self.tables
+
+        def back(t, nfree):
+            a = np.asarray(t, dtype=np.float64)
+            return a.reshape((3,) * nfree + (dim, dim))
+
+        S3 = back(S3_t, nd)
+        faces = {k: back(v, nd - 1) for k, v in faces_t}
+        edges = {k: back(v, nd - 2) for k, v in edges_t}
+        corners = {k: back(v, 0) for k, v in corners_t}
+        return S3, faces, edges, corners
+
+    # -- application ----------------------------------------------------
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._apply_fn(u).astype(u.dtype)
+
+    @property
+    def _apply_fn(self):
+        # cached per-instance jittable closure
+        fn = getattr(self, "_cached_apply", None)
+        if fn is not None:
+            return fn
+        S3, faces, edges, corners = self._unpack()
+        nd, dim = self.ndim, self.dim
+        shape = self.grid_shape
+        dtype = jnp.dtype(self.dtype_name)
+        # bf16 I/O computes in f32 (VPU upcast is free; halves HBM traffic)
+        cdt = jnp.float32 if dtype in (jnp.bfloat16, jnp.float32) else dtype
+
+        def sel(side, n):
+            return 0 if side == 0 else n - 1
+
+        def apply(u):
+            g = u.reshape(shape + (dim,))
+            out = _conv_nd(g, S3, cdt)
+            # face corrections (subtract ghost-layer couplings)
+            for (ax, side), S2 in faces.items():
+                idx = [slice(None)] * nd
+                idx[ax] = sel(side, shape[ax])
+                plane = g[tuple(idx)]
+                corr = _conv_nd(plane, S2, cdt)
+                out = out.at[tuple(idx)].add(-corr)
+            if nd == 3:
+                for ((ax1, ax2), (s1, s2)), S1 in edges.items():
+                    idx = [slice(None)] * nd
+                    idx[ax1] = sel(s1, shape[ax1])
+                    idx[ax2] = sel(s2, shape[ax2])
+                    line = g[tuple(idx)]
+                    corr = _conv_nd(line, S1, cdt)
+                    out = out.at[tuple(idx)].add(corr)
+                sign = -1.0
+            else:
+                sign = 1.0
+            for sides, C in corners.items():
+                idx = tuple(sel(s, n) for s, n in zip(sides, shape))
+                v = g[idx].astype(cdt)
+                corr = jnp.asarray(C, dtype=cdt) @ v
+                out = out.at[idx].add(sign * corr)
+            return out.reshape(-1, dim).astype(dtype)
+
+        object.__setattr__(self, "_cached_apply", apply)
+        return apply
+
+    def diagonal(self) -> jnp.ndarray:
+        """Assembled diagonal by the same inclusion-exclusion, on host."""
+        S3, faces, edges, corners = self._unpack()
+        nd, dim = self.ndim, self.dim
+        shape = self.grid_shape
+        ctr = (1,) * nd
+        out = np.broadcast_to(
+            np.diag(S3[ctr]), shape + (dim,)
+        ).copy()
+
+        def sel(side, n):
+            return 0 if side == 0 else n - 1
+
+        for (ax, side), S2 in faces.items():
+            idx = [slice(None)] * nd
+            idx[ax] = sel(side, shape[ax])
+            out[tuple(idx)] -= np.diag(S2[(1,) * (nd - 1)])
+        if nd == 3:
+            for ((ax1, ax2), (s1, s2)), S1 in edges.items():
+                idx = [slice(None)] * nd
+                idx[ax1] = sel(s1, shape[ax1])
+                idx[ax2] = sel(s2, shape[ax2])
+                out[tuple(idx)] += np.diag(S1[(1,)])
+            sign = -1.0
+        else:
+            sign = 1.0
+        for sides, C in corners.items():
+            idx = tuple(sel(s, n) for s, n in zip(sides, shape))
+            out[idx] += sign * np.diag(C)
+        return jnp.asarray(
+            out.reshape(-1, dim), dtype=jnp.dtype(self.dtype_name)
+        )
+
+
+def make_q1_stencil_operator(
+    space: DofSpace, E: np.ndarray, dtype=jnp.float64
+) -> StencilQ1Operator:
+    return StencilQ1Operator.build(space, E, dtype)
+
+
+__all__ = [
+    "StencilQ1Operator",
+    "make_q1_stencil_operator",
+    "q1_stencil_tables",
+]

@@ -156,6 +156,7 @@ class GeometricMultigrid:
         skip_fine_smoothing: bool = False,
         device_mesh=None,
         shard_axis: str = "shards",
+        level_backend: str = "auto",
     ):
         """`fine_operator` must already be BC-masked (identity on
         constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
@@ -256,10 +257,25 @@ class GeometricMultigrid:
             E_c = elem.K_e + elem.M_e  # M_e built with rho=mass_coeff
             mask_c = jnp.asarray(_boundary_mask(m_c, tags), dtype=dtype)
             # preconditioner-internal op: default (fast bf16-pass) precision
-            # suffices inside the V-cycle smoother; the fused Pallas Q1
-            # kernel is opt-in (measured at parity with the XLA
-            # formulation on v5e — kept as a backend for other gens)
-            if use_pallas:
+            # suffices inside the V-cycle smoother. Backend selection for
+            # the Q1 level operator (the dominant V-cycle cost):
+            #   "stencil": assembled 27-point stencil (ops/stencil.py) —
+            #     243 FMA/node fused into one XLA elementwise pass
+            #   "pallas": slab-fused per-cell kernel (pallas_structured)
+            #   "xla": per-cell extract -> MXU matmul -> overlap-add
+            #   "auto": pallas when use_pallas=True (fastest measured on
+            #     v5e at the 1M-node bench lattice: 0.96 ms vs 1.50 ms for
+            #     the stencil, which is overhead-bound there — f32 and bf16
+            #     cost the same), else stencil (beats per-cell XLA when the
+            #     Pallas path is disabled or unavailable)
+            backend = level_backend
+            if backend == "auto":
+                backend = "pallas" if use_pallas else "stencil"
+            if backend == "stencil":
+                from ..ops.stencil import make_q1_stencil_operator
+
+                op_c_raw = make_q1_stencil_operator(space_c, E_c, dtype)
+            elif backend == "pallas":
                 from ..ops.pallas_structured import (
                     make_structured_operator_auto,
                 )

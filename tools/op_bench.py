@@ -73,6 +73,8 @@ def main():
     print(f"Q1 level lattice {tuple(reversed([r+1 for r in reps]))} "
           f"= {n} nodes, {n*3} DoF")
 
+    from dealii_adapter_tpu.ops.stencil import make_q1_stencil_operator
+
     for dtype, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
         u = jax.random.normal(jax.random.PRNGKey(0), (n, 3)).astype(dtype)
         op = make_structured_operator(space, E, dtype, "default")
@@ -80,6 +82,11 @@ def main():
         t = timeit(xla, u)
         bw = 2 * n * 3 * u.dtype.itemsize / t / 1e9
         print(f"  XLA structured {name}: {t*1e3:8.3f} ms  ({bw:6.1f} GB/s eff)")
+        st = make_q1_stencil_operator(space, E, dtype)
+        sten = lambda v: st(v)
+        t = timeit(sten, u)
+        bw = 2 * n * 3 * u.dtype.itemsize / t / 1e9
+        print(f"  XLA stencil    {name}: {t*1e3:8.3f} ms  ({bw:6.1f} GB/s eff)")
         if jax.default_backend() == "tpu":
             try:
                 p1 = make_pallas_q1_operator(space, E, dtype)
