@@ -93,6 +93,141 @@ def _boundary_mask(mesh: StructuredMesh, tags: dict) -> np.ndarray:
 
 
 @dataclasses.dataclass
+class _LevelGeom:
+    """dt-independent host-side geometry of one coarse MG level: meshes,
+    DoF spaces, masks, element stiffness/unit-mass blocks, diagonals split
+    K/M, 1D transfers from the previous (finer) level, and (coarsest level
+    only) dense K/M matrices. The level operator is E_c = mu * K_e_unit +
+    mass_coeff * M_e_unit with (mu, mass_coeff) the only dt-dependent
+    inputs, so `with_delta_t` solver clones (fractional coupling windows)
+    reuse this skeleton and rebuild only operators/diagonals/lam_max/
+    Cholesky."""
+
+    m_c: StructuredMesh
+    space_c: DofSpace
+    mask_c: np.ndarray
+    K_e_unit: np.ndarray  # stiffness at (lmbda/mu, mu=1): scale by mu
+    M_e_unit: np.ndarray  # consistent mass at rho=1: scale by mass_coeff
+    diag_K: np.ndarray
+    diag_M: np.ndarray
+    P_1d: Tuple[np.ndarray, ...]
+    shape_c: Tuple[int, ...]
+    K_dense: Optional[np.ndarray] = None
+    M_dense: Optional[np.ndarray] = None
+
+
+def _geometry_skeleton(
+    mesh: StructuredMesh,
+    tags: dict,
+    coarse_size: int,
+    fem_sem: bool,
+    lmbda: float,
+    mu: float,
+) -> List[_LevelGeom]:
+    """Build (or fetch from the per-mesh cache) the coarse-level geometry
+    skeleton. Cached on the fine mesh object: every dt-clone of a model on
+    the same mesh (`with_delta_t`, `adapter.h:104-107` subcycling headroom)
+    shares one skeleton instead of re-creating DoF spaces, transfers and
+    element blocks per dt. K_e is jointly linear in (lmbda, mu), and the
+    linear model passes dt-SCALED Lame parameters ((theta dt)^2 lmbda), so
+    the key uses only the ratio lmbda/mu and stores the unit-mu stiffness —
+    dt-clones of either model family share one skeleton."""
+    if mu <= 0.0:
+        raise ValueError(f"multigrid requires a positive shear modulus, got mu={mu}")
+    key = (
+        coarse_size,
+        fem_sem,
+        float(lmbda / mu),
+        tuple(sorted(tags.get("clamped_raw_ids", [tags.get("clamped")]))),
+        tuple(sorted(tags.get("oop_raw_ids", []))),
+    )
+    cache = mesh.__dict__.setdefault("_mg_geom_cache", {})
+    if key in cache:
+        return cache[key]
+
+    dim = mesh.dim
+    # build the Q1 hierarchy: same reps first (p-coarsening), then halve
+    # per axis with rounding — levels need not nest, the coordinate-based
+    # 1D interpolation handles non-nested lattices exactly
+    meshes = []
+    reps = mesh.reps
+    if mesh.degree > 1:
+        if fem_sem:
+            # FEM-SEM low-order level: Q1 on a lattice with the SAME
+            # node count as the Q_p space (spectrally equivalent,
+            # Orszag '80) — near-identity 0->1 transfer, but the level
+            # costs MORE per matvec than the fine Q_p level (one Q1
+            # cell per fine node), so it roughly doubles V-cycle time
+            reps = tuple(r * mesh.degree for r in reps)
+        else:
+            # combined p+h coarsening (deal.II hybrid-MG style): first
+            # coarse level is Q1 at half the fine node resolution —
+            # slightly weaker two-level rate, ~2x cheaper V-cycle
+            reps = tuple(max(1, (r * mesh.degree + 1) // 2) for r in reps)
+        meshes.append(subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1))
+        if meshes[-1].n_nodes * dim <= coarse_size:
+            reps = None  # Q1 level already small enough
+    extent = np.array(mesh.p1, dtype=float) - np.array(mesh.p0, dtype=float)
+    while reps is not None and any(r > 1 for r in reps):
+        # aspect-aware semi-coarsening: halve only the axes whose cell
+        # spacing is close to the finest (strongest coupling); a point
+        # smoother cannot damp errors along weakly-coupled (large-h)
+        # directions, so isotropic halving of an anisotropic lattice
+        # (the PF flap is ~9:1 in z) destroys the V-cycle contraction.
+        # Axes equalize over the levels, then all halve together.
+        h = extent / np.array(reps, dtype=float)
+        hmin = min(h_d for h_d, r in zip(h, reps) if r > 1)
+        new_reps = tuple(
+            max(1, (r + 1) // 2) if (r > 1 and h_d <= 1.9 * hmin) else r
+            for r, h_d in zip(reps, h)
+        )
+        if new_reps == reps:  # defensive: never stall the hierarchy
+            new_reps = tuple(max(1, (r + 1) // 2) for r in reps)
+        reps = new_reps
+        meshes.append(subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1))
+        if meshes[-1].n_nodes * dim <= coarse_size:
+            break
+
+    geoms: List[_LevelGeom] = []
+    prev_mesh = mesh
+    for li, m_c in enumerate(meshes):
+        space_c = DofSpace.create(m_c)
+        # unit-mu stiffness + unit-rho mass; scaled by mu / mass_coeff at
+        # use (both element matrices are linear in those coefficients)
+        elem = ElementMatrices(space_c, lmbda / mu, 1.0, 1.0)
+        mask_c = _boundary_mask(m_c, tags)
+        P_1d = tuple(
+            _interp_1d(prev_mesh.axis_coords[d], m_c.axis_coords[d])
+            # grid axes are slowest-first => reverse the axis order
+            for d in reversed(range(dim))
+        )
+        shape_c = tuple(reversed([m_c.reps[d] + 1 for d in range(dim)]))
+        is_last = li == len(meshes) - 1
+        K_dense = M_dense = None
+        if is_last and space_c.n_nodes * dim <= 32768:
+            K_dense = assemble_dense(space_c, elem.K_e)
+            M_dense = assemble_dense(space_c, elem.M_e)
+        geoms.append(
+            _LevelGeom(
+                m_c=m_c,
+                space_c=space_c,
+                mask_c=mask_c,
+                K_e_unit=elem.K_e,
+                M_e_unit=elem.M_e,
+                diag_K=np.asarray(assemble_diagonal(space_c, elem.K_e)),
+                diag_M=np.asarray(assemble_diagonal(space_c, elem.M_e)),
+                P_1d=P_1d,
+                shape_c=shape_c,
+                K_dense=K_dense,
+                M_dense=M_dense,
+            )
+        )
+        prev_mesh = m_c
+    cache[key] = geoms
+    return geoms
+
+
+@dataclasses.dataclass
 class MGLevel:
     operator: Callable  # masked SPD action on (n_nodes, dim)
     diag: jnp.ndarray  # masked diagonal (1 on constrained)
@@ -202,60 +337,19 @@ class GeometricMultigrid:
             )
         )
 
-        # build the Q1 hierarchy: same reps first (p-coarsening), then halve
-        # per axis with rounding — levels need not nest, the coordinate-based
-        # 1D interpolation handles non-nested lattices exactly
-        meshes = []
-        reps = mesh.reps
-        if mesh.degree > 1:
-            if fem_sem:
-                # FEM-SEM low-order level: Q1 on a lattice with the SAME
-                # node count as the Q_p space (spectrally equivalent,
-                # Orszag '80) — near-identity 0->1 transfer, but the level
-                # costs MORE per matvec than the fine Q_p level (one Q1
-                # cell per fine node), so it roughly doubles V-cycle time
-                reps = tuple(r * mesh.degree for r in reps)
-            else:
-                # combined p+h coarsening (deal.II hybrid-MG style): first
-                # coarse level is Q1 at half the fine node resolution —
-                # slightly weaker two-level rate, ~2x cheaper V-cycle
-                reps = tuple(
-                    max(1, (r * mesh.degree + 1) // 2) for r in reps
-                )
-            meshes.append(
-                subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1)
-            )
-            if meshes[-1].n_nodes * dim <= coarse_size:
-                reps = None  # Q1 level already small enough
-        extent = np.array(mesh.p1, dtype=float) - np.array(mesh.p0, dtype=float)
-        while reps is not None and any(r > 1 for r in reps):
-            # aspect-aware semi-coarsening: halve only the axes whose cell
-            # spacing is close to the finest (strongest coupling); a point
-            # smoother cannot damp errors along weakly-coupled (large-h)
-            # directions, so isotropic halving of an anisotropic lattice
-            # (the PF flap is ~9:1 in z) destroys the V-cycle contraction.
-            # Axes equalize over the levels, then all halve together.
-            h = extent / np.array(reps, dtype=float)
-            hmin = min(h_d for h_d, r in zip(h, reps) if r > 1)
-            new_reps = tuple(
-                max(1, (r + 1) // 2) if (r > 1 and h_d <= 1.9 * hmin) else r
-                for r, h_d in zip(reps, h)
-            )
-            if new_reps == reps:  # defensive: never stall the hierarchy
-                new_reps = tuple(max(1, (r + 1) // 2) for r in reps)
-            reps = new_reps
-            meshes.append(
-                subdivided_hyper_rectangle(reps, mesh.p0, mesh.p1, 1)
-            )
-            if meshes[-1].n_nodes * dim <= coarse_size:
-                break
-
-        prev_mesh = mesh
-        for li, m_c in enumerate(meshes):
-            space_c = DofSpace.create(m_c)
-            elem = ElementMatrices(space_c, lmbda, mu, mass_coeff)
-            E_c = elem.K_e + elem.M_e  # M_e built with rho=mass_coeff
-            mask_c = jnp.asarray(_boundary_mask(m_c, tags), dtype=dtype)
+        # dt-independent geometry skeleton (level meshes, DoF spaces,
+        # masks, K/unit-M element blocks, transfers, dense coarse K/M) —
+        # cached on the fine mesh so `with_delta_t` clones share it; only
+        # the dt-dependent pieces below (operators with the mass_coeff
+        # reaction term, diagonals, lam_max, coarse Cholesky) are rebuilt
+        # per dt.
+        geoms = _geometry_skeleton(
+            mesh, tags, coarse_size, fem_sem, lmbda, mu
+        )
+        for li, gm in enumerate(geoms):
+            m_c, space_c = gm.m_c, gm.space_c
+            E_c = mu * gm.K_e_unit + mass_coeff * gm.M_e_unit
+            mask_c = jnp.asarray(gm.mask_c, dtype=dtype)
             # preconditioner-internal op: default (fast bf16-pass) precision
             # suffices inside the V-cycle smoother. Backend selection for
             # the Q1 level operator (the dominant V-cycle cost):
@@ -296,28 +390,21 @@ class GeometricMultigrid:
 
             op_c = masked(op_c_raw, mask_c)
             diag_c = mask_c * jnp.asarray(
-                assemble_diagonal(space_c, E_c), dtype=dtype
+                mu * gm.diag_K + mass_coeff * gm.diag_M, dtype=dtype
             ) + (1.0 - mask_c)
 
-            # transfers between prev (finer) and this level
-            P_1d = tuple(
-                jnp.asarray(
-                    _interp_1d(prev_mesh.axis_coords[d], m_c.axis_coords[d]),
-                    dtype=dtype,
-                )
-                # grid axes are slowest-first => reverse the axis order
-                for d in reversed(range(dim))
-            )
+            # transfers between prev (finer) and this level (from skeleton)
+            P_1d = tuple(jnp.asarray(P, dtype=dtype) for P in gm.P_1d)
             R_1d = tuple(P.T for P in P_1d)
             levels[-1].P_1d = P_1d
             levels[-1].R_1d = R_1d
 
-            shape_c = tuple(reversed([m_c.reps[d] + 1 for d in range(dim)]))
-            is_last = li == len(meshes) - 1
+            shape_c = gm.shape_c
+            is_last = li == len(geoms) - 1
             coarse_solve = None
             if is_last:
                 n_unknowns = space_c.n_nodes * dim
-                if n_unknowns > 32768:
+                if gm.K_dense is None:
                     raise ValueError(
                         f"MG coarse level has {n_unknowns} unknowns; the "
                         f"dense Cholesky coarse solve is O(n^3) on host and "
@@ -325,7 +412,7 @@ class GeometricMultigrid:
                         f"coarse_size={coarse_size}) so the hierarchy "
                         f"coarsens further."
                     )
-                A_dense = assemble_dense(space_c, E_c)
+                A_dense = mu * gm.K_dense + mass_coeff * gm.M_dense
                 flat_mask = np.asarray(mask_c, dtype=np.float64).reshape(-1)
                 A_dense = A_dense * flat_mask[:, None] * flat_mask[None, :]
                 np.fill_diagonal(
@@ -361,7 +448,6 @@ class GeometricMultigrid:
                     coarse_solve=coarse_solve,
                 )
             )
-            prev_mesh = m_c
 
         self.levels = levels
         self.dim = dim

@@ -145,3 +145,44 @@ def test_nonlinear_model_with_mg():
         np.asarray(st.displacement), np.asarray(st2.displacement),
         rtol=1e-7, atol=1e-12,
     )
+
+
+def test_geometry_skeleton_reuse_across_mass_coeff():
+    """`with_delta_t` clones share the dt-independent geometry skeleton
+    cached on the mesh (level meshes, transfers, K/M splits); a hierarchy
+    rebuilt with a different mass_coeff through the cache must equal one
+    built on a pristine mesh with no cache."""
+    import copy
+
+    space, A, diag, mask, mg1 = _setup(2, 2)
+    mesh = space.mesh
+    assert len(mesh._mg_geom_cache) == 1
+    # second build on the same mesh, different mass coefficient (new dt):
+    # reuses the skeleton (cache size stays 1)
+    mesh2, tags = make_scenario_grid("PF", 2, 2, scale=2, solver="linear")
+    elem = ElementMatrices(space, LMBDA, MU, RHO)
+    A_e = 4 * C * elem.K_e + elem.M_e
+    A_raw = make_structured_operator(space, A_e)
+
+    def A2(v):
+        return mask * A_raw(mask * v) + (1 - mask) * v
+
+    diag2 = mask * jnp.asarray(assemble_diagonal(space, A_e)) + (1 - mask)
+    mg_cached = GeometricMultigrid(
+        mesh, tags, A2, diag2, mask, 4 * C * LMBDA, 4 * C * MU,
+        mass_coeff=RHO,
+    )
+    assert len(mesh._mg_geom_cache) == 1  # skeleton shared, not regrown
+    # ... and equals a build with no cache available
+    mg_fresh = GeometricMultigrid(
+        mesh2, tags, A2, diag2, mask, 4 * C * LMBDA, 4 * C * MU,
+        mass_coeff=RHO,
+    )
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal((space.n_nodes, space.dim)))
+    np.testing.assert_allclose(
+        np.asarray(mg_cached(r)), np.asarray(mg_fresh(r)), rtol=1e-12,
+        atol=1e-14,
+    )
+    # dt-dependence is real: the two-dt hierarchies differ
+    assert not np.allclose(np.asarray(mg_cached(r)), np.asarray(mg1(r)))
