@@ -113,8 +113,11 @@ class AllParameters(
     mg_fine_smooth_degree: int = 0
     mg_coarse_size: int = 4000  # dense-solve threshold (DoFs) for the MG base
     # Q1 level-operator backend: "auto" | "stencil" (assembled 27-point
-    # stencil, ops/stencil.py) | "pallas" (slab-fused per-cell kernel) |
-    # "xla" (per-cell extract -> MXU matmul -> overlap-add)
+    # stencil, shifted-FMA interior pass, ops/stencil.py) | "stencil_conv"
+    # (interior pass as one XLA 3D convolution) | "stencil_banded"
+    # (interior pass as 9 banded MXU matmuls) | "pallas" (slab-fused
+    # per-cell kernel) | "xla" (per-cell extract -> MXU matmul ->
+    # overlap-add)
     mg_level_backend: str = "auto"
     # True (default): FEM-SEM first coarse level (Q1 on the same node
     # lattice). Measured on the 3D flap tangent: 188 CG its/step vs 322 for

@@ -152,21 +152,40 @@ class StencilQ1Operator:
     """Same call surface as StructuredOperator (p=1 only): `__call__` on a
     (n_nodes, dim) field, plus `diagonal()`. Exact — bit-equivalent
     arithmetic is not promised (different summation order) but the result
-    matches the per-cell formulation to roundoff (tested)."""
+    matches the per-cell formulation to roundoff (tested).
+
+    `strategy` picks the INTERIOR pass formulation (the O(surface)
+    boundary corrections always use the shift form):
+      "shift":  27 shifted elementwise FMAs fused by XLA (VPU-bound)
+      "conv":   one `lax.conv_general_dilated` NCDHW 3x3x3 convolution
+                with dim-channel feature dims (XLA's TPU conv emitter)
+      "banded": 9 MXU matmuls — for each (dz, dy) plane offset, the
+                dx/component coupling is a banded (X*dim, X*dim) matrix
+                applied to (Z*Y, X*dim) shifted planes; trades ~X/3 extra
+                FLOPs for MXU throughput and lane-aligned layouts
+    """
 
     tables: tuple  # hashable host copy: nested tuples of the 4 table sets
     ndim: int
     dim: int
     grid_shape: Tuple[int, ...]
     dtype_name: str
+    strategy: str = "shift"
 
     # -- construction ---------------------------------------------------
 
     @staticmethod
-    def build(space: DofSpace, E: np.ndarray, dtype=jnp.float64):
+    def build(
+        space: DofSpace, E: np.ndarray, dtype=jnp.float64,
+        strategy: str = "shift",
+    ):
         if space.mesh.degree != 1:
             raise ValueError("StencilQ1Operator requires degree-1 meshes")
+        if strategy not in ("shift", "conv", "banded"):
+            raise ValueError(f"unknown stencil strategy {strategy!r}")
         ndim = space.dim
+        if ndim != 3 and strategy != "shift":
+            strategy = "shift"  # conv/banded formulations are 3D-only
         S3, faces, edges, corners = q1_stencil_tables(E, ndim, space.dim)
 
         def h(a):
@@ -185,6 +204,7 @@ class StencilQ1Operator:
             dim=space.dim,
             grid_shape=_grid_shape(space),
             dtype_name=str(jnp.dtype(dtype)),
+            strategy=strategy,
         )
 
     def _unpack(self):
@@ -223,9 +243,11 @@ class StencilQ1Operator:
         def sel(side, n):
             return 0 if side == 0 else n - 1
 
+        interior = self._interior_pass(S3, shape, dim, cdt)
+
         def apply(u):
             g = u.reshape(shape + (dim,))
-            out = _conv_nd(g, S3, cdt)
+            out = interior(g)
             # face corrections (subtract ghost-layer couplings)
             for (ax, side), S2 in faces.items():
                 idx = [slice(None)] * nd
@@ -253,6 +275,69 @@ class StencilQ1Operator:
 
         object.__setattr__(self, "_cached_apply", apply)
         return apply
+
+    def _interior_pass(self, S3, shape, dim, cdt):
+        """The zero-padded interior stencil pass in the chosen strategy
+        (see class docstring); all strategies compute the identical
+        contraction, differing only in how it maps to the hardware."""
+        if self.strategy == "shift" or self.ndim != 3:
+            return lambda g: _conv_nd(g, S3, cdt)
+        Z, Y, X = shape
+
+        if self.strategy == "conv":
+            import jax.lax as lax
+
+            # NDHWC/DHWIO: channels = displacement components, no
+            # transposes of the lattice field needed
+            kern = S3.transpose(0, 1, 2, 4, 3)  # [dz,dy,dx,in,out]
+
+            def conv_pass(g):
+                k = jnp.asarray(kern, dtype=cdt)
+                out = lax.conv_general_dilated(
+                    g.astype(cdt)[None], k, window_strides=(1, 1, 1),
+                    padding="SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                )
+                return out[0]
+
+            return conv_pass
+
+        # "banded": one (X*dim, X*dim) banded matrix per (dz, dy) plane
+        # offset — the x-contraction + component coupling becomes an MXU
+        # matmul over (Z*Y, X*dim) shifted planes. Zero x-padding is baked
+        # into the band structure (no entries for out-of-range columns).
+        bands = {}
+        for dz in range(3):
+            for dy in range(3):
+                A = np.zeros((X * dim, X * dim))
+                for x in range(X):
+                    for dx in range(3):
+                        xx = x + dx - 1
+                        if 0 <= xx < X:
+                            A[
+                                x * dim:(x + 1) * dim,
+                                xx * dim:(xx + 1) * dim,
+                            ] += S3[dz, dy, dx]
+                if np.any(A):
+                    bands[(dz, dy)] = A.T.copy()  # right-multiply form
+
+        def banded_pass(g):
+            import jax.lax as lax
+
+            gf = g.reshape(Z, Y, X * dim)
+            gp = jnp.pad(gf, ((1, 1), (1, 1), (0, 0)))
+            out = None
+            for (dz, dy), At in bands.items():
+                win = gp[dz:dz + Z, dy:dy + Y]
+                term = lax.dot_general(
+                    win.astype(cdt), jnp.asarray(At, dtype=cdt),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=cdt,
+                )
+                out = term if out is None else out + term
+            return out.reshape(Z, Y, X, dim)
+
+        return banded_pass
 
     def diagonal(self) -> jnp.ndarray:
         """Assembled diagonal by the same inclusion-exclusion, on host."""
@@ -289,9 +374,10 @@ class StencilQ1Operator:
 
 
 def make_q1_stencil_operator(
-    space: DofSpace, E: np.ndarray, dtype=jnp.float64
+    space: DofSpace, E: np.ndarray, dtype=jnp.float64,
+    strategy: str = "shift",
 ) -> StencilQ1Operator:
-    return StencilQ1Operator.build(space, E, dtype)
+    return StencilQ1Operator.build(space, E, dtype, strategy=strategy)
 
 
 __all__ = [

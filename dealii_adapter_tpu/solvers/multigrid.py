@@ -365,10 +365,14 @@ class GeometricMultigrid:
             backend = level_backend
             if backend == "auto":
                 backend = "pallas" if use_pallas else "stencil"
-            if backend == "stencil":
+            if backend.startswith("stencil"):
                 from ..ops.stencil import make_q1_stencil_operator
 
-                op_c_raw = make_q1_stencil_operator(space_c, E_c, dtype)
+                # "stencil" (shift) | "stencil_conv" | "stencil_banded"
+                strat = backend[len("stencil_"):] or "shift"
+                op_c_raw = make_q1_stencil_operator(
+                    space_c, E_c, dtype, strategy=strat
+                )
             elif backend == "pallas":
                 from ..ops.pallas_structured import (
                     make_structured_operator_auto,

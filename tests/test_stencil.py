@@ -69,3 +69,19 @@ def test_low_precision_io_roundtrip():
     np.testing.assert_allclose(
         np.asarray(out), r_ref, atol=3e-6 * np.abs(r_ref).max()
     )
+
+
+@pytest.mark.parametrize("strategy", ["conv", "banded"])
+@pytest.mark.parametrize("dim,reps", CASES)
+def test_mxu_strategies_match_shift(strategy, dim, reps):
+    """The conv / banded-matmul interior formulations compute the same
+    contraction as the shift form (2D silently falls back to shift)."""
+    space, E = _setup(dim, reps)
+    ref = make_structured_operator(space, E, jnp.float64)
+    st = make_q1_stencil_operator(space, E, jnp.float64, strategy=strategy)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((space.n_nodes, dim)))
+    r_ref = np.asarray(ref(u))
+    np.testing.assert_allclose(
+        np.asarray(st(u)), r_ref, rtol=0, atol=1e-12 * np.abs(r_ref).max()
+    )
