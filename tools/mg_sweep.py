@@ -107,6 +107,28 @@ VARIANTS = {
     "jac": dict(preconditioner="Jacobi"),
 }
 
+# round-3 production A/B matrix: the bench config (ew eta0=0.3, V(3,3)
+# with fine degree 2, bf16 hierarchy, predictor, Pallas slab) crossed
+# with the mixed-precision Newton residual schedule and the MXU Q1
+# level-operator strategies
+_PROD = dict(
+    newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=2,
+    precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True,
+    use_pallas=True,
+)
+VARIANTS.update(
+    prod64=dict(_PROD, newton_residual="f64"),
+    prodmix=dict(_PROD, newton_residual="mixed"),
+    prodsten=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil"),
+    prodconv=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_conv"),
+    prodband=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_banded"),
+    prodbandf1=dict(
+        _PROD, newton_residual="mixed", mg_level_backend="stencil_banded",
+        mg_fine_smooth_degree=1,
+    ),
+    prodmixf1=dict(_PROD, newton_residual="mixed", mg_fine_smooth_degree=1),
+)
+
 
 def main():
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 5

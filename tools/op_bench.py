@@ -82,11 +82,18 @@ def main():
         t = timeit(xla, u)
         bw = 2 * n * 3 * u.dtype.itemsize / t / 1e9
         print(f"  XLA structured {name}: {t*1e3:8.3f} ms  ({bw:6.1f} GB/s eff)")
-        st = make_q1_stencil_operator(space, E, dtype)
-        sten = lambda v: st(v)
-        t = timeit(sten, u)
-        bw = 2 * n * 3 * u.dtype.itemsize / t / 1e9
-        print(f"  XLA stencil    {name}: {t*1e3:8.3f} ms  ({bw:6.1f} GB/s eff)")
+        for strat in ("shift", "conv", "banded"):
+            st = make_q1_stencil_operator(space, E, dtype, strategy=strat)
+            sten = lambda v, st=st: st(v)
+            try:
+                t = timeit(sten, u)
+            except Exception as e:  # noqa: BLE001
+                print(f"  stencil {strat:<7}{name}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+                continue
+            bw = 2 * n * 3 * u.dtype.itemsize / t / 1e9
+            print(f"  stencil {strat:<7}{name}: {t*1e3:8.3f} ms  "
+                  f"({bw:6.1f} GB/s eff)")
         if jax.default_backend() == "tpu":
             try:
                 p1 = make_pallas_q1_operator(space, E, dtype)
