@@ -48,14 +48,29 @@ def _interp_1d(x_fine: np.ndarray, x_coarse: np.ndarray) -> np.ndarray:
     return P
 
 
-def _apply_sep(u_grid: jnp.ndarray, mats: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+def _apply_sep(
+    u_grid: jnp.ndarray,
+    mats: Tuple[jnp.ndarray, ...],
+    minor_first: bool = False,
+) -> jnp.ndarray:
     """Apply one (n_out_ax, n_in_ax) matrix per grid axis (slowest first)
-    to a (..., dim) lattice field — separable tensor-product transfer."""
+    to a (..., dim) lattice field — separable tensor-product transfer.
+
+    The per-axis contractions commute; `minor_first` controls the order,
+    which only affects intermediate sizes: restriction SHRINKS every axis,
+    so contracting minor axes first keeps the later (major-axis)
+    contractions on already-coarsened arrays; prolongation grows every
+    axis, so major-first keeps the early contractions on the small coarse
+    array. (HLO census note: the sharded-step full-level all-gather is
+    caused by the residual's phase-view patch extraction, not by these
+    transfers — see tests/test_sharding_scale.py.)
+    """
     ndim = len(mats)
     out = u_grid
-    for ax, P in enumerate(mats):
+    order = reversed(range(ndim)) if minor_first else range(ndim)
+    for ax in order:
         out = jnp.moveaxis(
-            jnp.tensordot(P, out, axes=(1, ax)), 0, ax
+            jnp.tensordot(mats[ax], out, axes=(1, ax)), 0, ax
         )
     return out
 
@@ -490,7 +505,7 @@ class GeometricMultigrid:
     def _restrict(self, li: int, r):
         lv = self.levels[li]
         r_grid = r.reshape(lv.grid_shape + (self.dim,))
-        rc = _apply_sep(r_grid, lv.R_1d)
+        rc = _apply_sep(r_grid, lv.R_1d, minor_first=True)
         rc = rc.reshape(-1, self.dim)
         return self._constrain(li + 1, self.levels[li + 1].mask * rc)
 

@@ -138,17 +138,18 @@ def test_collective_census_bounds_reshard_cost(models):
 
     fine_bytes = ref.space.n_dofs * 8  # one f64 fine-level nodal vector
     gathered = sum(b for k, b in census if k == "all-gather")
-    # Measured reshard cost (documented finding, round-3): the separable
-    # 1D inter-level transfers contract along the sharded grid axis, and
-    # GSPMD resolves that contraction by all-gathering the LEVEL array
-    # once (largest observed gather = 911,040 B = 1.16x one fine f64
-    # nodal vector at 97,875 DoF) rather than partial-sum+reduce-scatter.
-    # That is one full-level gather per transfer — acceptable (transfers
-    # run once per V-cycle vs ~8 smoother matvecs that stay fully
-    # sharded/halo-exchanged) but not free. The bound below pins the
-    # behavior: any MULTIPLE-of-fine-level gather (e.g. gathering the
-    # whole hierarchy, or un-sharding the Q2 operator's cell patches)
-    # would trip it.
+    # Measured reshard cost (documented finding, round-3): the largest
+    # gathers (911,040 B post-fusion / 783,168 B = one f64 nodal vector
+    # at the gather itself) feed the f64 RESIDUAL's phase-view cell-patch
+    # extraction — the phase reshape splits the sharded grid axis into
+    # (z/2, 2), which GSPMD cannot express as a sharded op, so it gathers
+    # the displacement once per residual evaluation (per Newton
+    # iteration; both precision branches of the mixed-residual cond).
+    # The V-cycle smoother matvecs and MG transfers stay sharded. This is
+    # acceptable — residual evaluations are O(newton_its) per step vs
+    # O(cg_its x smoothing) sharded matvecs — and the bound below pins
+    # it: any MULTIPLE-of-fine-level gather (e.g. un-sharding the Q2
+    # operator's cell patches inside CG) would trip it.
     largest = max((b for k, b in census if k == "all-gather"), default=0)
     assert largest < 2 * fine_bytes, (
         f"an all-gather moves {largest} B >= 2x a fine-level vector "
