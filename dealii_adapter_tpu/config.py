@@ -115,7 +115,8 @@ class AllParameters(
     # Q1 level-operator backend: "auto" | "stencil" (assembled 27-point
     # stencil, shifted-FMA interior pass, ops/stencil.py) | "stencil_conv"
     # (interior pass as one XLA 3D convolution) | "stencil_banded"
-    # (interior pass as 9 banded MXU matmuls) | "pallas" (slab-fused
+    # (interior pass as 9 banded MXU matmuls) | "stencil_flat" (lane-
+    # flattened (Z, Y, X*dim) VPU pass) | "pallas" (slab-fused
     # per-cell kernel) | "xla" (per-cell extract -> MXU matmul ->
     # overlap-add)
     mg_level_backend: str = "auto"

@@ -163,6 +163,12 @@ class StencilQ1Operator:
                 dx/component coupling is a banded (X*dim, X*dim) matrix
                 applied to (Z*Y, X*dim) shifted planes; trades ~X/3 extra
                 FLOPs for MXU throughput and lane-aligned layouts
+      "flat":   lane-flattened VPU pass — x and components merge into one
+                trailing axis (Z, Y, X*dim) that fills the 128-lane
+                registers (the (..., dim) layout of "shift" pads dim=3 to
+                128 lanes); each (dz, dy, lane-shift) term is one FMA with
+                a lane-periodic coefficient vector (<= 9*(4*dim-1) terms
+                vs 27*dim^2 plane ops for "shift")
     """
 
     tables: tuple  # hashable host copy: nested tuples of the 4 table sets
@@ -181,7 +187,7 @@ class StencilQ1Operator:
     ):
         if space.mesh.degree != 1:
             raise ValueError("StencilQ1Operator requires degree-1 meshes")
-        if strategy not in ("shift", "conv", "banded"):
+        if strategy not in ("shift", "conv", "banded", "flat"):
             raise ValueError(f"unknown stencil strategy {strategy!r}")
         ndim = space.dim
         if ndim != 3 and strategy != "shift":
@@ -301,6 +307,54 @@ class StencilQ1Operator:
                 return out[0]
 
             return conv_pass
+
+        if self.strategy == "flat":
+            # Merge x and components into the lane axis. Out-lane
+            # l = x*dim + d receives, for source offset (dx, e), the
+            # source lane l + s with lane shift s = dim*dx + (e - d);
+            # the coefficient S3[dz, dy, dx, d, e] depends on the lane
+            # only through d = l % dim, so each (dz, dy, s) term is one
+            # FMA of the shifted plane with a period-dim coefficient
+            # vector. Zero lane-padding supplies the x-boundary zeros
+            # (real-boundary terms come from the inclusion-exclusion
+            # corrections, as for every strategy).
+            L = X * dim
+            pad = 2 * dim - 1  # max |s|
+            coeffs = {}
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        for d in range(dim):
+                            for e in range(dim):
+                                w = S3[dz, dy, dx, d, e]
+                                if w == 0.0:
+                                    continue
+                                s = dim * (dx - 1) + (e - d)
+                                c = coeffs.setdefault(
+                                    (dz, dy, s), np.zeros(L)
+                                )
+                                c[d::dim] += w
+            # a lane at x=0 with s<0 (or x=X-1 with s>0) must only read
+            # the zero pad, not a neighbouring component's lane: zero the
+            # coefficient where the SOURCE lane belongs to an x outside
+            # [0, X). Source x = (l + s) // dim in unpadded lanes.
+            for (dz, dy, s), c in coeffs.items():
+                ls = np.arange(L) + s
+                c[(ls < 0) | (ls >= L)] = 0.0
+
+            def flat_pass(g):
+                gf = g.reshape(Z, Y, L).astype(cdt)
+                gp = jnp.pad(gf, ((1, 1), (1, 1), (pad, pad)))
+                out = None
+                for (dz, dy, s), c in sorted(coeffs.items()):
+                    if not np.any(c):
+                        continue
+                    win = gp[dz:dz + Z, dy:dy + Y, pad + s:pad + s + L]
+                    term = jnp.asarray(c, dtype=cdt) * win
+                    out = term if out is None else out + term
+                return out.reshape(Z, Y, X, dim)
+
+            return flat_pass
 
         # "banded": one (X*dim, X*dim) banded matrix per (dz, dy) plane
         # offset — the x-contraction + component coupling becomes an MXU

@@ -71,10 +71,11 @@ def test_low_precision_io_roundtrip():
     )
 
 
-@pytest.mark.parametrize("strategy", ["conv", "banded"])
+@pytest.mark.parametrize("strategy", ["conv", "banded", "flat"])
 @pytest.mark.parametrize("dim,reps", CASES)
 def test_mxu_strategies_match_shift(strategy, dim, reps):
-    """The conv / banded-matmul interior formulations compute the same
+    """The conv / banded-matmul / lane-flattened interior formulations
+    compute the same
     contraction as the shift form (2D silently falls back to shift)."""
     space, E = _setup(dim, reps)
     ref = make_structured_operator(space, E, jnp.float64)

@@ -127,6 +127,7 @@ VARIANTS.update(
         mg_fine_smooth_degree=1,
     ),
     prodmixf1=dict(_PROD, newton_residual="mixed", mg_fine_smooth_degree=1),
+    prodflat=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_flat"),
 )
 
 
