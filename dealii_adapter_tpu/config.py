@@ -112,8 +112,11 @@ class AllParameters(
     # can often run weaker — and it is the costliest level to smooth
     mg_fine_smooth_degree: int = 0
     mg_coarse_size: int = 4000  # dense-solve threshold (DoFs) for the MG base
-    # Q1 level-operator backend: "auto" | "stencil" (assembled 27-point
-    # stencil, shifted-FMA interior pass, ops/stencil.py) | "stencil_conv"
+    # Q1 level-operator backend: "auto" (on TPU: AUTOTUNE — measure every
+    # candidate at the actual level shape at setup time and keep the
+    # fastest; off-TPU: pallas if use_pallas else stencil) | "stencil"
+    # (assembled 27-point stencil, shifted-FMA interior pass,
+    # ops/stencil.py) | "stencil_conv"
     # (interior pass as one XLA 3D convolution) | "stencil_banded"
     # (interior pass as 9 banded MXU matmuls) | "stencil_flat" (lane-
     # flattened (Z, Y, X*dim) VPU pass) | "pallas" (slab-fused

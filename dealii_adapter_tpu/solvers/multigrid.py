@@ -34,6 +34,102 @@ from ..ops.element_ops import ElementMatrices, assemble_dense, assemble_diagonal
 from ..ops.structured import make_structured_operator
 
 
+# process-wide Q1 level-operator autotune results, keyed by
+# (grid_shape, dtype, use_pallas): with_delta_t clones and repeated
+# hierarchies at the same shape skip re-measurement
+_AUTOTUNE_CACHE: dict = {}
+
+
+def _time_op_on_device(op, n_nodes: int, dim: int, dtype, chain: int = 8):
+    """Seconds per operator application, measured as a chain of `chain`
+    dependent applications inside one jit (the axon TPU tunnel pipelines
+    repeated identical dispatches, so unchained timings are meaningless),
+    closed by a host readback of a result-derived scalar."""
+    import time as _time
+
+    u = jnp.zeros((n_nodes, dim), dtype=dtype)
+
+    def chained(v):
+        for _ in range(chain):
+            v = op(v)
+        return v
+
+    g = jax.jit(chained)
+    r = g(u)
+    jax.block_until_ready(r)
+    float(jnp.vdot(r[0], r[0]))  # force completion (round-2 bench lesson)
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        r = g(u)
+        jax.block_until_ready(r)
+        float(jnp.vdot(r[0], r[0]))
+        best = min(best, _time.perf_counter() - t0)
+    return best / chain
+
+
+def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
+    """Pick the fastest Q1 level-operator backend by measuring each
+    candidate ON THE CURRENT DEVICE at the actual level shape.
+
+    The V-cycle's Q1 level operators are the dominant per-CG-iteration
+    cost at bench scale, and which formulation wins (per-cell Pallas slab
+    kernel vs the stencil's shift / conv / banded-MXU / lane-flattened
+    interior passes) is a hardware-generation question — so "auto" on TPU
+    answers it empirically at setup time (seconds, outside any timed
+    region) instead of hardcoding one generation's measurement.
+    """
+    import sys as _sys
+
+    key = (space_c.mesh.reps, str(jnp.dtype(dtype)), use_pallas)
+    hit = _AUTOTUNE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    candidates = {}
+    if use_pallas:
+        from ..ops.pallas_structured import make_structured_operator_auto
+
+        candidates["pallas"] = lambda: make_structured_operator_auto(
+            space_c, E_c, dtype, precision="default"
+        )
+    from ..ops.stencil import make_q1_stencil_operator
+
+    for strat in ("shift", "conv", "banded", "flat"):
+        name = "stencil" if strat == "shift" else f"stencil_{strat}"
+        candidates[name] = (
+            lambda strat=strat: make_q1_stencil_operator(
+                space_c, E_c, dtype, strategy=strat
+            )
+        )
+
+    dim = space_c.dim
+    results = {}
+    for name, build in candidates.items():
+        try:
+            t = _time_op_on_device(build(), space_c.n_nodes, dim, dtype)
+            results[name] = t
+        except Exception as e:  # noqa: BLE001 — a candidate may be
+            # unavailable (e.g. Pallas off-TPU); tuning must not fail setup
+            print(
+                f"mg autotune: {name} failed ({type(e).__name__})",
+                file=_sys.stderr,
+            )
+    if not results:
+        return "stencil"
+    winner = min(results, key=results.get)
+    timings = ", ".join(
+        f"{n}={t*1e3:.2f}ms" for n, t in sorted(results.items(), key=lambda kv: kv[1])
+    )
+    print(
+        f"mg autotune @ {space_c.n_nodes} nodes {jnp.dtype(dtype).name}: "
+        f"{timings} -> {winner}",
+        file=_sys.stderr,
+    )
+    _AUTOTUNE_CACHE[key] = winner
+    return winner
+
+
 def _interp_1d(x_fine: np.ndarray, x_coarse: np.ndarray) -> np.ndarray:
     """(n_fine, n_coarse) linear interpolation matrix: hat functions on the
     coarse 1D grid evaluated at the fine nodes."""
@@ -372,14 +468,29 @@ class GeometricMultigrid:
             #     243 FMA/node fused into one XLA elementwise pass
             #   "pallas": slab-fused per-cell kernel (pallas_structured)
             #   "xla": per-cell extract -> MXU matmul -> overlap-add
-            #   "auto": pallas when use_pallas=True (fastest measured on
-            #     v5e at the 1M-node bench lattice: 0.96 ms vs 1.50 ms for
-            #     the stencil, which is overhead-bound there — f32 and bf16
-            #     cost the same), else stencil (beats per-cell XLA when the
-            #     Pallas path is disabled or unavailable)
+            #   "auto": on TPU, AUTOTUNE — measure every candidate at the
+            #     actual level shape and keep the fastest (v5e reference
+            #     point at the 1M-node lattice: pallas slab 0.96 ms,
+            #     stencil shift 1.50 ms; conv/banded/flat are newer MXU/
+            #     lane layouts whose winner is hardware-generation
+            #     dependent). Off-TPU: pallas if use_pallas else stencil.
             backend = level_backend
             if backend == "auto":
-                backend = "pallas" if use_pallas else "stencil"
+                if (
+                    jax.default_backend() == "tpu"
+                    and device_mesh is None
+                    and space_c.n_nodes * dim >= 200_000
+                ):
+                    # measure the candidates on the real chip at this
+                    # level's shape (cached process-wide per shape/dtype)
+                    backend = _autotune_q1_backend(
+                        space_c, E_c, dtype, use_pallas
+                    )
+                else:
+                    # off-TPU / sharded / small levels: fixed heuristic
+                    # (pallas auto-falls back to XLA off-TPU; the stencil
+                    # beats per-cell XLA when Pallas is disabled)
+                    backend = "pallas" if use_pallas else "stencil"
             if backend.startswith("stencil"):
                 from ..ops.stencil import make_q1_stencil_operator
 

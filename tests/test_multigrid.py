@@ -186,3 +186,31 @@ def test_geometry_skeleton_reuse_across_mass_coeff():
     )
     # dt-dependence is real: the two-dt hierarchies differ
     assert not np.allclose(np.asarray(mg_cached(r)), np.asarray(mg1(r)))
+
+
+def test_autotune_q1_backend_picks_valid_and_caches():
+    """`mg_level_backend="auto"` on TPU measures candidates at the real
+    level shape and keeps the fastest; the result is process-cached per
+    (shape, dtype). Exercised here directly on CPU (no Pallas candidate)."""
+    from dealii_adapter_tpu.mesh.generator import subdivided_hyper_rectangle
+    from dealii_adapter_tpu.solvers import multigrid as mgmod
+
+    mesh = subdivided_hyper_rectangle(
+        (4, 6, 2), (0.0, 0.0, 0.0), (0.1, 1.0, 0.3), 1
+    )
+    space = DofSpace.create(mesh)
+    elem = ElementMatrices(space, 1.5e6, 0.5e6, 1000.0)
+    E = elem.K_e + 1e4 * elem.M_e
+
+    mgmod._AUTOTUNE_CACHE.clear()
+    winner = mgmod._autotune_q1_backend(space, E, jnp.float32, use_pallas=False)
+    assert winner in ("stencil", "stencil_conv", "stencil_banded", "stencil_flat")
+    key = (space.mesh.reps, "float32", False)
+    assert mgmod._AUTOTUNE_CACHE[key] == winner
+    # cache hit path returns without re-measuring
+    mgmod._AUTOTUNE_CACHE[key] = "stencil_flat"
+    assert (
+        mgmod._autotune_q1_backend(space, E, jnp.float32, use_pallas=False)
+        == "stencil_flat"
+    )
+    mgmod._AUTOTUNE_CACHE.clear()
