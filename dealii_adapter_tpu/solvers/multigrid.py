@@ -81,7 +81,12 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     """
     import sys as _sys
 
-    key = (space_c.mesh.reps, str(jnp.dtype(dtype)), use_pallas)
+    # one measurement per (dtype, use_pallas) per process: levels are
+    # built fine -> coarse, so the first call is the largest (most
+    # representative) shape, and re-tuning every smaller level would add
+    # minutes of compile time on the slow axon tunnel for ops that are a
+    # minority of the V-cycle cost
+    key = (str(jnp.dtype(dtype)), use_pallas)
     hit = _AUTOTUNE_CACHE.get(key)
     if hit is not None:
         return hit

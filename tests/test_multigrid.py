@@ -205,7 +205,7 @@ def test_autotune_q1_backend_picks_valid_and_caches():
     mgmod._AUTOTUNE_CACHE.clear()
     winner = mgmod._autotune_q1_backend(space, E, jnp.float32, use_pallas=False)
     assert winner in ("stencil", "stencil_conv", "stencil_banded", "stencil_flat")
-    key = (space.mesh.reps, "float32", False)
+    key = ("float32", False)
     assert mgmod._AUTOTUNE_CACHE[key] == winner
     # cache hit path returns without re-measuring
     mgmod._AUTOTUNE_CACHE[key] = "stencil_flat"
