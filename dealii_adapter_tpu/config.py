@@ -119,7 +119,8 @@ class AllParameters(
     # ops/stencil.py) | "stencil_conv"
     # (interior pass as one XLA 3D convolution) | "stencil_banded"
     # (interior pass as 9 banded MXU matmuls) | "stencil_flat" (lane-
-    # flattened (Z, Y, X*dim) VPU pass) | "pallas" (slab-fused
+    # flattened (Z, Y, X*dim) VPU pass) | "stencil_flatx" (transposed
+    # (Z, X*dim, Y) lane layout) | "pallas" (slab-fused
     # per-cell kernel) | "xla" (per-cell extract -> MXU matmul ->
     # overlap-add)
     mg_level_backend: str = "auto"

@@ -169,6 +169,11 @@ class StencilQ1Operator:
                 128 lanes); each (dz, dy, lane-shift) term is one FMA with
                 a lane-periodic coefficient vector (<= 9*(4*dim-1) terms
                 vs 27*dim^2 plane ops for "shift")
+      "flatx":  like "flat" but transposed to (Z, X*dim, Y): the LONG
+                lattice axis fills the lanes (better 128-lane utilization
+                on flap-like meshes where X is short), lane shifts are
+                only the +-1 of the y-offsets, and the x/component shifts
+                move along sublanes with per-sublane coefficient columns
     """
 
     tables: tuple  # hashable host copy: nested tuples of the 4 table sets
@@ -187,7 +192,7 @@ class StencilQ1Operator:
     ):
         if space.mesh.degree != 1:
             raise ValueError("StencilQ1Operator requires degree-1 meshes")
-        if strategy not in ("shift", "conv", "banded", "flat"):
+        if strategy not in ("shift", "conv", "banded", "flat", "flatx"):
             raise ValueError(f"unknown stencil strategy {strategy!r}")
         ndim = space.dim
         if ndim != 3 and strategy != "shift":
@@ -308,7 +313,7 @@ class StencilQ1Operator:
 
             return conv_pass
 
-        if self.strategy == "flat":
+        if self.strategy in ("flat", "flatx"):
             # Merge x and components into the lane axis. Out-lane
             # l = x*dim + d receives, for source offset (dx, e), the
             # source lane l + s with lane shift s = dim*dx + (e - d);
@@ -342,19 +347,39 @@ class StencilQ1Operator:
                 ls = np.arange(L) + s
                 c[(ls < 0) | (ls >= L)] = 0.0
 
-            def flat_pass(g):
-                gf = g.reshape(Z, Y, L).astype(cdt)
-                gp = jnp.pad(gf, ((1, 1), (1, 1), (pad, pad)))
+            if self.strategy == "flat":
+
+                def flat_pass(g):
+                    gf = g.reshape(Z, Y, L).astype(cdt)
+                    gp = jnp.pad(gf, ((1, 1), (1, 1), (pad, pad)))
+                    out = None
+                    for (dz, dy, s), c in sorted(coeffs.items()):
+                        if not np.any(c):
+                            continue
+                        win = gp[dz:dz + Z, dy:dy + Y, pad + s:pad + s + L]
+                        term = jnp.asarray(c, dtype=cdt) * win
+                        out = term if out is None else out + term
+                    return out.reshape(Z, Y, X, dim)
+
+                return flat_pass
+
+            # "flatx": transpose so the LONG axis (Y on flap lattices)
+            # fills the lanes; the x/component shift s moves along the
+            # sublane axis with a per-sublane coefficient column, and the
+            # y-offsets are the only lane shifts (+-1)
+            def flatx_pass(g):
+                gt = g.transpose(0, 2, 3, 1).reshape(Z, L, Y).astype(cdt)
+                gp = jnp.pad(gt, ((1, 1), (pad, pad), (1, 1)))
                 out = None
                 for (dz, dy, s), c in sorted(coeffs.items()):
                     if not np.any(c):
                         continue
-                    win = gp[dz:dz + Z, dy:dy + Y, pad + s:pad + s + L]
-                    term = jnp.asarray(c, dtype=cdt) * win
+                    win = gp[dz:dz + Z, pad + s:pad + s + L, dy:dy + Y]
+                    term = jnp.asarray(c, dtype=cdt)[None, :, None] * win
                     out = term if out is None else out + term
-                return out.reshape(Z, Y, X, dim)
+                return out.reshape(Z, X, dim, Y).transpose(0, 3, 1, 2)
 
-            return flat_pass
+            return flatx_pass
 
         # "banded": one (X*dim, X*dim) banded matrix per (dz, dy) plane
         # offset — the x-contraction + component coupling becomes an MXU

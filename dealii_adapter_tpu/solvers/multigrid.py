@@ -100,7 +100,7 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
         )
     from ..ops.stencil import make_q1_stencil_operator
 
-    for strat in ("shift", "conv", "banded", "flat"):
+    for strat in ("shift", "conv", "banded", "flat", "flatx"):
         name = "stencil" if strat == "shift" else f"stencil_{strat}"
         candidates[name] = (
             lambda strat=strat: make_q1_stencil_operator(

@@ -71,7 +71,7 @@ def test_low_precision_io_roundtrip():
     )
 
 
-@pytest.mark.parametrize("strategy", ["conv", "banded", "flat"])
+@pytest.mark.parametrize("strategy", ["conv", "banded", "flat", "flatx"])
 @pytest.mark.parametrize("dim,reps", CASES)
 def test_mxu_strategies_match_shift(strategy, dim, reps):
     """The conv / banded-matmul / lane-flattened interior formulations

@@ -128,6 +128,7 @@ VARIANTS.update(
     ),
     prodmixf1=dict(_PROD, newton_residual="mixed", mg_fine_smooth_degree=1),
     prodflat=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_flat"),
+    prodflatx=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_flatx"),
 )
 
 

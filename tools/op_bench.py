@@ -82,7 +82,7 @@ def main():
         t = timeit(xla, u)
         bw = 2 * n * 3 * u.dtype.itemsize / t / 1e9
         print(f"  XLA structured {name}: {t*1e3:8.3f} ms  ({bw:6.1f} GB/s eff)")
-        for strat in ("shift", "conv", "banded", "flat"):
+        for strat in ("shift", "conv", "banded", "flat", "flatx"):
             st = make_q1_stencil_operator(space, E, dtype, strategy=strat)
             sten = lambda v, st=st: st(v)
             try:
