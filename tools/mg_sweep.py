@@ -129,6 +129,26 @@ VARIANTS.update(
     prodmixf1=dict(_PROD, newton_residual="mixed", mg_fine_smooth_degree=1),
     prodflat=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_flat"),
     prodflatx=dict(_PROD, newton_residual="mixed", mg_level_backend="stencil_flatx"),
+    # shift smoothing work from the expensive Q2 fine level to the cheap
+    # Q1 levels (fine ops are ~2x a Q1 level op and the autotuned Q1
+    # backend widens that): iteration counts for these are measured on
+    # CPU (hardware-independent), wall times on TPU
+    prodf1q4=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        mg_smooth_degree=4,
+    ),
+    prodf1q5=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        mg_smooth_degree=5,
+    ),
+    prodf0q4=dict(
+        _PROD, newton_residual="mixed", mg_skip_fine_smoothing=True,
+        mg_smooth_degree=4,
+    ),
+    prodf0q6=dict(
+        _PROD, newton_residual="mixed", mg_skip_fine_smoothing=True,
+        mg_smooth_degree=6,
+    ),
 )
 
 
