@@ -78,6 +78,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # Pallas slab-fused Q1 operator inside the V-cycle (auto-falls back
         # to the XLA formulation off-TPU): 1.416 -> 1.247 s/step at 1M
         use_pallas=os.environ.get("BENCH_USE_PALLAS", "1") == "1",
+        # opt-in: smooth the assembled tangent on the MG fine level (safe
+        # at bench strains; see config.mg_fine_tangent caution)
+        mg_fine_tangent=os.environ.get("BENCH_MG_FINE_TANGENT", "0") == "1",
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

@@ -179,6 +179,18 @@ class AllParameters(
     # the schedule switches to f64 within 30x of the floor. "f64" forces
     # every evaluation to full precision.
     newton_residual: str = "mixed"  # "mixed" | "f64"
+    # MG fine-level smoothing operator: True smooths the CURRENT Newton
+    # iteration's assembled tangent (the exact CG operator, already
+    # materialized — one batched FMA sweep per apply) on the V-cycle's
+    # fine level; False (default) keeps the constant small-strain proxy
+    # the hierarchy was built from. Only takes effect with
+    # preconditioner=MG, the assembled tangent backend, and fine smoothing
+    # enabled. CAUTION: the fine Chebyshev keeps the proxy's lam_max
+    # (x1.1); at LARGE strains the tangent's spectrum outgrows it and the
+    # smoother can diverge (measured at min det F ~ 0.5) — opt in only
+    # for moderate-deformation runs. Iteration-neutral at bench strains
+    # (measured); the win is the cheaper fine matvec on TPU.
+    mg_fine_tangent: bool = False
     # sum-factorized f64 residual/mass contractions on 3D structured
     # meshes (ops/sumfact.py): per-axis 1D stages instead of dense
     # (q, npc) tabulation matmuls — ~13x fewer emulated-f64 multiplies,

@@ -657,6 +657,14 @@ class NonlinearElasticity:
             self._precond = jacobi_preconditioner(diag.astype(sdt))
 
         self._max_cg_iter = int(space.n_dofs * params.max_iterations_lin)
+        # smooth the per-Newton-iteration assembled tangent on the MG fine
+        # level instead of the constant small-strain proxy (see do_solve
+        # and GeometricMultigrid.with_fine_operator)
+        self._mg_fine_tangent = bool(
+            params.mg_fine_tangent
+            and params.preconditioner == "MG"
+            and not params.mg_skip_fine_smoothing
+        )
 
     # ------------------------------------------------------------------
     # pure physics functions (also used directly by tests)
@@ -1141,10 +1149,26 @@ class NonlinearElasticity:
                                 )
 
                         tol = cg_tolerance().astype(tdtype)
+                        precond_k = precond
+                        if self._mg_fine_tangent and self._use_assembled:
+                            # smooth THIS iteration's assembled tangent (the
+                            # exact CG operator, already materialized) on
+                            # the V-cycle's fine level instead of the
+                            # constant small-strain proxy: spectrally exact
+                            # and one batched FMA sweep per apply where the
+                            # proxy pays a Q_p structured matvec
+                            pdt = precond.dtype
+
+                            def fine_tangent_op(v):
+                                return K32(v.astype(tdtype)).astype(pdt)
+
+                            precond_k = precond.with_fine_operator(
+                                fine_tangent_op
+                            )
                         r = cg_solve(
                             K32, rhs.astype(tdtype),
                             jnp.zeros((n_nodes, dim), dtype=tdtype),
-                            tol=tol, max_iter=max_cg, preconditioner=precond,
+                            tol=tol, max_iter=max_cg, preconditioner=precond_k,
                         )
                         return r.x.astype(self.dtype), r.iterations
 

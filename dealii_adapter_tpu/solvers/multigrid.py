@@ -660,3 +660,33 @@ class GeometricMultigrid:
         while the bulk of the flops run at native TPU f32 speed."""
         z = self._vcycle(0, self._constrain(0, r.astype(self.dtype)))
         return z.astype(r.dtype)
+
+    def with_fine_operator(self, op: Callable, lam_margin: float = 1.1):
+        """Light clone sharing every level, with the FINE (level-0)
+        operator replaced.
+
+        Used by the nonlinear model to smooth the CURRENT Newton
+        iteration's assembled tangent (the exact CG operator, already
+        materialized for the matvec) instead of the constant small-strain
+        proxy the hierarchy was built from — better spectrally AND cheaper
+        per application when the assembled per-cell FMA matvec beats the
+        Q_p structured proxy op. The fine diagonal and Chebyshev lam_max
+        stay the proxy's (the tangent equals the proxy at F = I and stays
+        spectrally close at moderate strains); `lam_margin` widens the
+        smoothing interval to absorb tangent stiffening, since Chebyshev
+        amplifies modes above the assumed lam_max.
+
+        `op` may close over traced arrays (it is captured per CG solve at
+        trace time); it must be masked like the proxy (identity on
+        constrained DoFs) and accept/return the hierarchy dtype's shapes.
+        """
+        import copy
+
+        clone = copy.copy(self)
+        lv0 = self.levels[0]
+        clone.levels = [
+            dataclasses.replace(
+                lv0, operator=op, lam_max=lv0.lam_max * lam_margin
+            )
+        ] + list(self.levels[1:])
+        return clone

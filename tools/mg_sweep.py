@@ -26,6 +26,14 @@ def _enable_compile_cache():
 
 
 _enable_compile_cache()
+
+# this image pre-imports jax via sitecustomize with the axon TPU plugin;
+# honoring a JAX_PLATFORMS=cpu request needs jax.config (env alone does
+# not stop the plugin's backend discovery — see tests/conftest.py)
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,6 +157,10 @@ VARIANTS.update(
         _PROD, newton_residual="mixed", mg_skip_fine_smoothing=True,
         mg_smooth_degree=6,
     ),
+    # A/B the fine-level smoothing operator: exact assembled tangent
+    # (default) vs the constant small-strain proxy
+    prodnoft=dict(_PROD, newton_residual="mixed", mg_fine_tangent=False),
+    prodft=dict(_PROD, newton_residual="mixed", mg_fine_tangent=True),
 )
 
 

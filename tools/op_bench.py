@@ -39,6 +39,14 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
+# this image pre-imports jax via sitecustomize with the axon TPU plugin;
+# honoring a JAX_PLATFORMS=cpu request needs jax.config (env alone does
+# not stop the plugin's backend discovery — see tests/conftest.py)
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 
 def timeit(fn, u, n=30):
     """Time one operator application via a chain of n dependent
