@@ -67,8 +67,11 @@ def build_model(scale, dtype, degree, device_mesh=None):
         newton_forcing=os.environ.get("BENCH_FORCING", "ew"),
         mg_smooth_degree=int(os.environ.get("BENCH_MG_DEGREE", "3")),
         # weaker fine-level smoothing (the FEM-SEM Q1 level overlaps the
-        # fine smoother spectrally): 1.25 -> 1.07 s/step at 1M, 24->25 its
-        mg_fine_smooth_degree=int(os.environ.get("BENCH_MG_FINE_DEGREE", "2")),
+        # fine smoother spectrally): f3 -> f2 measured 1.25 -> 1.07 s/step
+        # at 1M (24 -> 25 its); f2 -> f1 costs +1 CG it at both 43k and
+        # 185k DoF (CPU-measured, hardware-independent) for 2 fewer Q2
+        # ops per V-cycle
+        mg_fine_smooth_degree=int(os.environ.get("BENCH_MG_FINE_DEGREE", "1")),
         # Newmark constant-acceleration predictor start: measured 84 -> 73
         # total CG its/step at 185k DoF, identical trajectory
         newton_predictor=os.environ.get("BENCH_PREDICTOR", "1") == "1",
