@@ -91,6 +91,13 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     if hit is not None:
         return hit
 
+    import os as _os
+    import time as _time
+
+    # ordered by prior on winning (pallas = round-2's measured best first)
+    # so the wall-clock budget below cuts the least-likely candidates:
+    # compile time on the tunneled TPU is the real cost of tuning, and a
+    # driver-run bench must never stall in setup
     candidates = {}
     if use_pallas:
         from ..ops.pallas_structured import make_structured_operator_auto
@@ -100,7 +107,7 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
         )
     from ..ops.stencil import make_q1_stencil_operator
 
-    for strat in ("shift", "conv", "banded", "flat", "flatx"):
+    for strat in ("flatx", "flat", "banded", "conv", "shift"):
         name = "stencil" if strat == "shift" else f"stencil_{strat}"
         candidates[name] = (
             lambda strat=strat: make_q1_stencil_operator(
@@ -108,9 +115,18 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
             )
         )
 
+    budget_s = float(_os.environ.get("MG_AUTOTUNE_BUDGET_S", "300"))
+    t_start = _time.perf_counter()
     dim = space_c.dim
     results = {}
     for name, build in candidates.items():
+        if results and _time.perf_counter() - t_start > budget_s:
+            print(
+                f"mg autotune: budget ({budget_s:.0f}s) exhausted, "
+                f"skipping {name} and later candidates",
+                file=_sys.stderr,
+            )
+            break
         try:
             t = _time_op_on_device(build(), space_c.n_nodes, dim, dtype)
             results[name] = t
