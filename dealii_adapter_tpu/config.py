@@ -179,6 +179,13 @@ class AllParameters(
     # the schedule switches to f64 within 30x of the floor. "f64" forces
     # every evaluation to full precision.
     newton_residual: str = "mixed"  # "mixed" | "f64"
+    # how early the mixed schedule hands back to f64: iterations whose
+    # relative residual sits within this factor of the measured f32 noise
+    # floor evaluate in f64. Larger = fewer wasted near-floor f32
+    # iterations (the CPU-measured +2 Newton its of the schedule), smaller
+    # = fewer f64 evaluations; the optimum depends on the hardware's
+    # f64/f32 cost ratio (~13x on v5e).
+    newton_residual_f64_window: float = 30.0
     # MG fine-level smoothing operator: True smooths the CURRENT Newton
     # iteration's assembled tangent (the exact CG operator, already
     # materialized — one batched FMA sweep per apply) on the V-cycle's

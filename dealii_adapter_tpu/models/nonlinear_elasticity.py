@@ -967,6 +967,7 @@ class NonlinearElasticity:
             # contract (its noise floor is additive), so correctness of the
             # reference's dual rel/abs rule is preserved — the final
             # iterations always evaluate in f64.
+            f64_window = float(params.newton_residual_f64_window)
             mixed_resid = (
                 use_cg
                 and self._mixed_tangent
@@ -992,7 +993,7 @@ class NonlinearElasticity:
                     # f64 at iteration 0 (anchors res0) and within 30x of
                     # the measured floor; f32 otherwise
                     want64 = jnp.logical_or(
-                        c.it == 0, c.res_rel <= 30.0 * c.res_floor
+                        c.it == 0, c.res_rel <= f64_window * c.res_floor
                     )
                     rhs, min_J, was32 = jax.lax.cond(want64, e64, e32, None)
                     res_abs0 = norm(rhs)

@@ -161,6 +161,9 @@ VARIANTS.update(
     # (default) vs the constant small-strain proxy
     prodnoft=dict(_PROD, newton_residual="mixed", mg_fine_tangent=False),
     prodft=dict(_PROD, newton_residual="mixed", mg_fine_tangent=True),
+    # f64-handback window of the mixed residual schedule
+    prodw100=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=100.0),
+    prodw300=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=300.0),
 )
 
 
