@@ -957,6 +957,7 @@ class NonlinearElasticity:
                 cg_total: jnp.ndarray
                 min_J: jnp.ndarray
                 res_floor: jnp.ndarray  # measured f32-residual noise floor
+                want64_next: jnp.ndarray  # predicted: next iterate near floor
 
             one = jnp.asarray(1.0, self.dtype)
 
@@ -992,17 +993,45 @@ class NonlinearElasticity:
 
                     # f64 at iteration 0 (anchors res0) and within 30x of
                     # the measured floor; f32 otherwise
+                    # f64 when: anchoring res0 (it 0), the current
+                    # residual already sits near the floor, or last
+                    # iteration PREDICTED this one would land there
+                    # (quadratic convergence jumps past the floor in one
+                    # step, so a current-residual rule alone evaluates the
+                    # decisive iterate in f32 and wastes a Newton step)
                     want64 = jnp.logical_or(
-                        c.it == 0, c.res_rel <= f64_window * c.res_floor
+                        jnp.logical_or(
+                            c.it == 0,
+                            c.res_rel <= f64_window * c.res_floor,
+                        ),
+                        c.want64_next,
                     )
                     rhs, min_J, was32 = jax.lax.cond(want64, e64, e32, None)
                     res_abs0 = norm(rhs)
+
+                    # iteration-0 floor calibration: one extra f32
+                    # evaluation (~1/13 the f64 cost) measures the noise
+                    # floor up front, so near-floor iterations hand back to
+                    # f64 directly instead of running stall-detected f32
+                    # iterations first (measured +2 Newton its at scale 3
+                    # without this). At the very first step u = 0 makes
+                    # both precisions exact (floor 0); the stall path below
+                    # remains as the fallback calibrator there.
+                    def calib(_):
+                        rhs32, _ = self._residual32(c.delta, state, stress)
+                        return norm(rhs32 - rhs) / jnp.maximum(
+                            res_abs0, 1e-300
+                        )
+
+                    def nocalib(_):
+                        return c.res_floor
+
+                    floor0 = jax.lax.cond(c.it == 0, calib, nocalib, None)
+
                     # stall detection: an f32 iteration that fails to cut
                     # the residual in half has hit (or approached) the f32
                     # noise floor — re-evaluate THIS iterate in f64 and
-                    # re-calibrate the floor from the difference. (A floor
-                    # measured at iteration 0 is useless: u=0 makes the
-                    # internal force exact in both precisions.)
+                    # re-calibrate the floor from the difference.
                     stall = jnp.logical_and(
                         was32, res_abs0 > 0.5 * c.res_abs
                     )
@@ -1012,10 +1041,10 @@ class NonlinearElasticity:
                         fl = norm(rhs64 - rhs) / jnp.maximum(
                             c.res0, 1e-300
                         )
-                        return rhs64, mJ64, jnp.maximum(fl, c.res_floor)
+                        return rhs64, mJ64, jnp.maximum(fl, floor0)
 
                     def keep(_):
-                        return rhs, min_J, c.res_floor
+                        return rhs, min_J, floor0
 
                     rhs, min_J, res_floor = jax.lax.cond(
                         stall, redo, keep, None
@@ -1026,6 +1055,24 @@ class NonlinearElasticity:
                 res_abs = norm(rhs)
                 res0 = jnp.where(c.it == 0, jnp.maximum(res_abs, 1e-300), c.res0)
                 res_rel = res_abs / res0
+                if mixed_resid:
+                    # predict the NEXT iterate's residual from the forcing
+                    # term (mirrors cg_tolerance below): if it lands within
+                    # the f64 window of the noise floor, evaluate it in f64
+                    if params.newton_forcing == "ew":
+                        _ratio = res_abs / c.res_abs
+                        _eta = jnp.where(
+                            c.it == 0,
+                            jnp.asarray(params.ew_eta0, self.dtype),
+                            jnp.clip(0.9 * _ratio * _ratio, 1e-4, 0.5),
+                        )
+                        _T = jnp.maximum(tol_f * res0, 5e-9)
+                        _pred = jnp.maximum(_eta * res_abs, 0.5 * _T)
+                    else:
+                        _pred = params.tol_lin * res_abs
+                    want64_next = _pred / res0 <= f64_window * res_floor
+                else:
+                    want64_next = c.want64_next
                 if self.verbose:
                     # the reference's per-iteration convergence table
                     # (`nonlinear_elasticity.cc:503-542`); host callback, so
@@ -1217,6 +1264,7 @@ class NonlinearElasticity:
                     cg_total=c.cg_total + cg_its,
                     min_J=jnp.minimum(c.min_J, min_J),
                     res_floor=res_floor,
+                    want64_next=want64_next,
                 )
 
             if params.newton_predictor and not self.quasi_static:
@@ -1242,6 +1290,7 @@ class NonlinearElasticity:
                 cg_total=jnp.int32(0),
                 min_J=jnp.asarray(jnp.inf, self.dtype),
                 res_floor=jnp.asarray(0.0, self.dtype),
+                want64_next=jnp.asarray(False),
             )
             return jax.lax.while_loop(cond, body, init)
 
