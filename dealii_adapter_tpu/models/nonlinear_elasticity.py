@@ -957,6 +957,7 @@ class NonlinearElasticity:
                 cg_total: jnp.ndarray
                 min_J: jnp.ndarray
                 res_floor: jnp.ndarray  # measured f32-residual noise floor
+                calibrated: jnp.ndarray  # floor measured at a nonzero iterate
                 want64_next: jnp.ndarray  # predicted: next iterate near floor
 
             one = jnp.asarray(1.0, self.dtype)
@@ -991,17 +992,16 @@ class NonlinearElasticity:
                         rhs, mJ = self._residual32(c.delta, state, stress)
                         return rhs, mJ, jnp.asarray(True)
 
-                    # f64 at iteration 0 (anchors res0) and within 30x of
-                    # the measured floor; f32 otherwise
-                    # f64 when: anchoring res0 (it 0), the current
-                    # residual already sits near the floor, or last
-                    # iteration PREDICTED this one would land there
-                    # (quadratic convergence jumps past the floor in one
-                    # step, so a current-residual rule alone evaluates the
-                    # decisive iterate in f32 and wastes a Newton step)
+                    # f64 when: anchoring res0 (it 0), the floor is not yet
+                    # calibrated, the current residual already sits near
+                    # the floor, or last iteration PREDICTED this one would
+                    # land there (quadratic convergence jumps past the
+                    # floor in one step, so a current-residual rule alone
+                    # evaluates the decisive iterate in f32 and wastes a
+                    # Newton step)
                     want64 = jnp.logical_or(
                         jnp.logical_or(
-                            c.it == 0,
+                            jnp.logical_or(c.it == 0, ~c.calibrated),
                             c.res_rel <= f64_window * c.res_floor,
                         ),
                         c.want64_next,
@@ -1009,14 +1009,19 @@ class NonlinearElasticity:
                     rhs, min_J, was32 = jax.lax.cond(want64, e64, e32, None)
                     res_abs0 = norm(rhs)
 
-                    # iteration-0 floor calibration: one extra f32
-                    # evaluation (~1/13 the f64 cost) measures the noise
+                    # Floor calibration: one extra f32 evaluation (~1/13
+                    # the f64 cost) alongside an f64 one measures the noise
                     # floor up front, so near-floor iterations hand back to
                     # f64 directly instead of running stall-detected f32
                     # iterations first (measured +2 Newton its at scale 3
-                    # without this). At the very first step u = 0 makes
-                    # both precisions exact (floor 0); the stall path below
-                    # remains as the fallback calibrator there.
+                    # without this). Only a NONZERO iterate gives a
+                    # representative floor — at the very first step u = 0
+                    # makes both precisions exact (floor 0), which made
+                    # step 0 pay +2 stall-detected iterations when it was
+                    # calibrated there; ~calibrated keeps evaluations f64
+                    # until the first nonzero iterate (step 0: iteration 1).
+                    u_nonzero = norm(state.displacement + c.delta) > 0.0
+
                     def calib(_):
                         rhs32, _ = self._residual32(c.delta, state, stress)
                         return norm(rhs32 - rhs) / jnp.maximum(
@@ -1026,7 +1031,11 @@ class NonlinearElasticity:
                     def nocalib(_):
                         return c.res_floor
 
-                    floor0 = jax.lax.cond(c.it == 0, calib, nocalib, None)
+                    can_calib = jnp.logical_and(
+                        jnp.logical_and(~was32, ~c.calibrated), u_nonzero
+                    )
+                    floor0 = jax.lax.cond(can_calib, calib, nocalib, None)
+                    calibrated = jnp.logical_or(c.calibrated, can_calib)
 
                     # stall detection: an f32 iteration that fails to cut
                     # the residual in half has hit (or approached) the f32
@@ -1049,9 +1058,11 @@ class NonlinearElasticity:
                     rhs, min_J, res_floor = jax.lax.cond(
                         stall, redo, keep, None
                     )
+                    calibrated = jnp.logical_or(calibrated, stall)
                 else:
                     rhs, min_J = self.residual(c.delta, state, stress)
                     res_floor = c.res_floor
+                    calibrated = c.calibrated
                 res_abs = norm(rhs)
                 res0 = jnp.where(c.it == 0, jnp.maximum(res_abs, 1e-300), c.res0)
                 res_rel = res_abs / res0
@@ -1264,6 +1275,7 @@ class NonlinearElasticity:
                     cg_total=c.cg_total + cg_its,
                     min_J=jnp.minimum(c.min_J, min_J),
                     res_floor=res_floor,
+                    calibrated=calibrated,
                     want64_next=want64_next,
                 )
 
@@ -1290,6 +1302,7 @@ class NonlinearElasticity:
                 cg_total=jnp.int32(0),
                 min_J=jnp.asarray(jnp.inf, self.dtype),
                 res_floor=jnp.asarray(0.0, self.dtype),
+                calibrated=jnp.asarray(False),
                 want64_next=jnp.asarray(False),
             )
             return jax.lax.while_loop(cond, body, init)

@@ -357,3 +357,42 @@ def test_newton_predictor_matches_reference_start():
         traj[pred] = np.asarray(state.displacement)
     err = np.linalg.norm(traj[True] - traj[False])
     assert err <= 1e-5 * np.linalg.norm(traj[False]), err
+
+
+def test_mixed_residual_schedule_iteration_parity():
+    """The mixed Newton-residual schedule (f32 evaluations far above the
+    measured noise floor, predictive f64 handback near it) must not cost
+    Newton iterations vs forcing every evaluation to f64 — the
+    nonzero-iterate floor calibration + next-residual prediction exist
+    exactly for this (regression guards: the current-residual-only rule
+    cost +2 its; calibrating at the u=0 iterate of step 0 measured a zero
+    floor and cost +2 stall-detected its there)."""
+    import jax.numpy as jnp
+
+    def run(sched):
+        m = make_solver(
+            dim=3,
+            preconditioner="MG",
+            precond_dtype="bfloat16",
+            solve_dtype="float32",
+            newton_forcing="ew",
+            ew_eta0=0.3,
+            newton_predictor=True,
+            mg_smooth_degree=3,
+            newton_residual=sched,
+        )
+        st = m.initial_state()
+        stress = interface_stress(m, [5000.0, 0.0, 0.0])
+        newton = cg = 0
+        for _ in range(3):
+            st, info = m.step(st, stress)
+            assert bool(info.converged)
+            newton += int(info.iterations)
+            cg += int(info.cg_iterations)
+        return float(jnp.max(jnp.abs(st.displacement))), newton, cg
+
+    u64, n64, c64 = run("f64")
+    umx, nmx, cmx = run("mixed")
+    assert abs(umx - u64) <= 1e-6 * abs(u64)
+    assert nmx <= n64, (nmx, n64)
+    assert cmx <= c64 + 2, (cmx, c64)
