@@ -1022,10 +1022,16 @@ class NonlinearElasticity:
                     # until the first nonzero iterate (step 0: iteration 1).
                     u_nonzero = norm(state.displacement + c.delta) > 0.0
 
+                    # the floor is compared against res_rel = res_abs/res0,
+                    # so it must be noise/res0: at iteration 0 res0 is about
+                    # to be anchored to THIS residual's norm, afterwards
+                    # (step-0 calibrates at iteration 1) it is c.res0
+                    _floor_denom = jnp.where(c.it == 0, res_abs0, c.res0)
+
                     def calib(_):
                         rhs32, _ = self._residual32(c.delta, state, stress)
                         return norm(rhs32 - rhs) / jnp.maximum(
-                            res_abs0, 1e-300
+                            _floor_denom, 1e-300
                         )
 
                     def nocalib(_):

@@ -35,8 +35,11 @@ from ..ops.structured import make_structured_operator
 
 
 # process-wide Q1 level-operator autotune results, keyed by
-# (grid_shape, dtype, use_pallas): with_delta_t clones and repeated
-# hierarchies at the same shape skip re-measurement
+# (dtype, use_pallas) and valued (winner, n_nodes_measured): one
+# measurement per process covers with_delta_t clones, coarser levels and
+# repeated hierarchies; a strictly larger level than the one measured
+# re-tunes (the winner is a lane/tile-layout question, so the largest
+# shape is the representative one)
 _AUTOTUNE_CACHE: dict = {}
 
 
@@ -85,11 +88,13 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     # built fine -> coarse, so the first call is the largest (most
     # representative) shape, and re-tuning every smaller level would add
     # minutes of compile time on the slow axon tunnel for ops that are a
-    # minority of the V-cycle cost
+    # minority of the V-cycle cost. If a LARGER level than the measured
+    # one shows up later (a bigger model built in the same process), the
+    # cached winner is no longer representative — re-measure.
     key = (str(jnp.dtype(dtype)), use_pallas)
     hit = _AUTOTUNE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and space_c.n_nodes <= hit[1]:
+        return hit[0]
 
     import os as _os
     import time as _time
@@ -147,7 +152,7 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
         f"{timings} -> {winner}",
         file=_sys.stderr,
     )
-    _AUTOTUNE_CACHE[key] = winner
+    _AUTOTUNE_CACHE[key] = (winner, space_c.n_nodes)
     return winner
 
 
@@ -496,6 +501,17 @@ class GeometricMultigrid:
             #     lane layouts whose winner is hardware-generation
             #     dependent). Off-TPU: pallas if use_pallas else stencil.
             backend = level_backend
+            _known = (
+                "auto", "xla", "pallas", "stencil", "stencil_conv",
+                "stencil_banded", "stencil_flat", "stencil_flatx",
+            )
+            if backend not in _known:
+                # a typo would otherwise silently fall through to the
+                # slowest per-cell XLA formulation
+                raise ValueError(
+                    f"unknown mg_level_backend {backend!r}; "
+                    f"expected one of {_known}"
+                )
             if backend == "auto":
                 if (
                     jax.default_backend() == "tpu"

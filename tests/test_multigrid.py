@@ -188,6 +188,13 @@ def test_geometry_skeleton_reuse_across_mass_coeff():
     assert not np.allclose(np.asarray(mg_cached(r)), np.asarray(mg1(r)))
 
 
+def test_unknown_level_backend_rejected():
+    """A typo'd mg_level_backend must raise, not silently fall through to
+    the slowest per-cell XLA formulation."""
+    with pytest.raises(ValueError, match="mg_level_backend"):
+        _setup(1, 1, level_backend="stencilflat")
+
+
 def test_autotune_q1_backend_picks_valid_and_caches():
     """`mg_level_backend="auto"` on TPU measures candidates at the real
     level shape and keeps the fastest; the result is process-cached per
@@ -204,13 +211,22 @@ def test_autotune_q1_backend_picks_valid_and_caches():
 
     mgmod._AUTOTUNE_CACHE.clear()
     winner = mgmod._autotune_q1_backend(space, E, jnp.float32, use_pallas=False)
-    assert winner in ("stencil", "stencil_conv", "stencil_banded", "stencil_flat")
+    assert winner in (
+        "stencil", "stencil_conv", "stencil_banded", "stencil_flat",
+        "stencil_flatx",
+    )
     key = ("float32", False)
-    assert mgmod._AUTOTUNE_CACHE[key] == winner
-    # cache hit path returns without re-measuring
-    mgmod._AUTOTUNE_CACHE[key] = "stencil_flat"
+    assert mgmod._AUTOTUNE_CACHE[key] == (winner, space.n_nodes)
+    # cache hit path returns without re-measuring (same or smaller shape)
+    mgmod._AUTOTUNE_CACHE[key] = ("stencil_flat", space.n_nodes)
     assert (
         mgmod._autotune_q1_backend(space, E, jnp.float32, use_pallas=False)
         == "stencil_flat"
     )
+    # a strictly larger level than the measured one re-tunes
+    mgmod._AUTOTUNE_CACHE[key] = ("stencil_flat", space.n_nodes - 1)
+    rewinner = mgmod._autotune_q1_backend(
+        space, E, jnp.float32, use_pallas=False
+    )
+    assert mgmod._AUTOTUNE_CACHE[key] == (rewinner, space.n_nodes)
     mgmod._AUTOTUNE_CACHE.clear()

@@ -109,8 +109,9 @@ VARIANTS = {
     # semi-coarsening + EW forcing changed the hierarchy economics
     "e03ph": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fem_sem=False, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
     "e03phf4": dict(newton_forcing="ew", mg_smooth_degree=3, mg_fine_smooth_degree=4, mg_fem_sem=False, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True),
-    # dense-tabulation f64 formulation (sumfact off) for A/B timing
-    "e03nosf": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True, use_sumfact=False),
+    # sum-factorized f64 residual formulation (vs the default dense
+    # (q, npc) tabulation matmul — A/B pair for e03pal)
+    "e03sf": dict(newton_forcing="ew", mg_smooth_degree=3, precond_dtype="bfloat16", ew_eta0=0.3, newton_predictor=True, use_pallas=True, use_sumfact=True),
     "cheb": dict(preconditioner="Chebyshev", cheb_degree=4),
     "jac": dict(preconditioner="Jacobi"),
 }
