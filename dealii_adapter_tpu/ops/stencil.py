@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,6 +148,116 @@ def _conv_nd(g: jnp.ndarray, S: np.ndarray, compute_dtype) -> jnp.ndarray:
     return jnp.stack([c if c is not None else zero for c in comps], axis=-1)
 
 
+def _vmem_bytes_estimate(shape, dim, io_itemsize, cdt_itemsize):
+    """Conservative VMEM footprint of the 'vmem' kernel: padded input +
+    output (tiled to (sublane, 128) lanes) + the 3 f32 accumulator slabs."""
+    Z, Y, X = shape
+    swap = Y > X
+    A, L = (X, Y) if swap else (Y, X)
+
+    def tiled(a, sub):
+        return -(-a // sub) * sub
+
+    sub_in = 16 if io_itemsize == 2 else 8
+    in_b = dim * (Z + 2) * tiled(A + 2, sub_in) * tiled(L + 2, 128) * io_itemsize
+    out_b = dim * Z * tiled(A, sub_in) * tiled(L, 128) * io_itemsize
+    acc_b = dim * tiled(A, 8) * tiled(L, 128) * cdt_itemsize
+    return in_b + out_b + acc_b
+
+
+# VMEM budget for the whole-field kernel; v5e exposes ~16 MB minus
+# compiler reserves. Every MG level of the bench configs fits well under
+# this in bf16; an out-of-budget build raises so autotune skips it.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_pass(S3, shape, dim, cdt, io_dtype):
+    """Whole-field-in-VMEM Pallas interior pass (see class docstring).
+
+    Layout (dim, Z, A, L) with the LONG in-plane axis L in lanes. The
+    padded field is read from HBM once; the z-plane loop then runs
+    entirely out of VMEM: for each of the <=81 (source component, dz,
+    da, dl) offsets one (A, L) window load is shared by the three output
+    components' scalar-weight FMAs (<=243 of them, 243 FMA/node total —
+    the same contraction as every other strategy).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Z, Y, X = shape
+    if dim != 3:
+        raise ValueError("vmem stencil strategy supports dim=3 only")
+    interpret = jax.default_backend() != "tpu"
+    if not interpret and io_dtype not in (jnp.bfloat16, jnp.float32):
+        raise ValueError(
+            f"vmem stencil strategy compiles for bf16/f32 I/O only, got "
+            f"{io_dtype} (f64 is supported in interpret mode off-TPU)"
+        )
+    est = _vmem_bytes_estimate(
+        shape, dim, jnp.dtype(io_dtype).itemsize, jnp.dtype(cdt).itemsize
+    )
+    if not interpret and est > _VMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"vmem stencil strategy needs ~{est/2**20:.1f} MB VMEM for "
+            f"grid {shape} at {io_dtype}, over the {_VMEM_BUDGET_BYTES/2**20:.0f}"
+            " MB budget"
+        )
+
+    # in-plane axes: A in sublanes, L (the longer one) in lanes
+    swap = Y > X
+    A, L = (X, Y) if swap else (Y, X)
+    # S3 is indexed [dz, dy, dx, d, e] (grid axes slowest-first); permute
+    # the in-plane offset axes to (dz, dA, dL)
+    S3p = S3.transpose(0, 2, 1, 3, 4) if swap else S3
+
+    def kernel(u_ref, out_ref):
+        def zbody(z, carry):
+            accs = [jnp.zeros((A, L), dtype=cdt) for _ in range(dim)]
+            for e in range(dim):
+                for dz in range(3):
+                    for da in range(3):
+                        for dl in range(3):
+                            col = S3p[dz, da, dl, :, e]
+                            if not np.any(col):
+                                continue
+                            win = u_ref[
+                                e, z + dz, da:da + A, dl:dl + L
+                            ].astype(cdt)
+                            for d in range(dim):
+                                w = float(col[d])
+                                if w != 0.0:
+                                    accs[d] = accs[d] + w * win
+            for d in range(dim):
+                out_ref[d, z] = accs[d].astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, Z, zbody, 0)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((dim, Z, A, L), io_dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def vmem_apply(g):
+        # g: (Z, Y, X, dim) -> (dim, Z, A, L), zero-padded by 1 per axis
+        gt = jnp.moveaxis(g, -1, 0).astype(io_dtype)
+        if swap:
+            gt = gt.transpose(0, 1, 3, 2)
+        gp = jnp.pad(gt, ((0, 0), (1, 1), (1, 1), (1, 1)))
+        out = call(gp)
+        if swap:
+            out = out.transpose(0, 1, 3, 2)
+        return jnp.moveaxis(out, 0, -1).astype(cdt)
+
+    return vmem_apply
+
+
 @dataclasses.dataclass(frozen=True)
 class StencilQ1Operator:
     """Same call surface as StructuredOperator (p=1 only): `__call__` on a
@@ -174,6 +285,17 @@ class StencilQ1Operator:
                 on flap-like meshes where X is short), lane shifts are
                 only the +-1 of the y-offsets, and the x/component shifts
                 move along sublanes with per-sublane coefficient columns
+      "vmem":   Pallas kernel with the ENTIRE padded field resident in
+                VMEM (it is only a few MB at any MG level): one fori_loop
+                over z-planes, 81 shared window loads per plane (one per
+                (source component, dz, da, dl) offset, reused by all 3
+                output components) and scalar-weight slab FMAs — the
+                whole interior pass touches HBM exactly once for the
+                input and once for the output, where the XLA strategies
+                re-read the field from HBM per shifted term. Long
+                in-plane axis in lanes (as "flatx"/the slab kernel).
+                3D only; compiled path needs bf16/f32 I/O (interpret
+                mode — off-TPU tests — also takes f64).
     """
 
     tables: tuple  # hashable host copy: nested tuples of the 4 table sets
@@ -192,7 +314,7 @@ class StencilQ1Operator:
     ):
         if space.mesh.degree != 1:
             raise ValueError("StencilQ1Operator requires degree-1 meshes")
-        if strategy not in ("shift", "conv", "banded", "flat", "flatx"):
+        if strategy not in ("shift", "conv", "banded", "flat", "flatx", "vmem"):
             raise ValueError(f"unknown stencil strategy {strategy!r}")
         ndim = space.dim
         if ndim != 3 and strategy != "shift":
@@ -294,6 +416,11 @@ class StencilQ1Operator:
         if self.strategy == "shift" or self.ndim != 3:
             return lambda g: _conv_nd(g, S3, cdt)
         Z, Y, X = shape
+
+        if self.strategy == "vmem":
+            return _vmem_pass(
+                S3, shape, dim, cdt, jnp.dtype(self.dtype_name)
+            )
 
         if self.strategy == "conv":
             import jax.lax as lax

@@ -43,32 +43,51 @@ from ..ops.structured import make_structured_operator
 _AUTOTUNE_CACHE: dict = {}
 
 
-def _time_op_on_device(op, n_nodes: int, dim: int, dtype, chain: int = 8):
-    """Seconds per operator application, measured as a chain of `chain`
-    dependent applications inside one jit (the axon TPU tunnel pipelines
-    repeated identical dispatches, so unchained timings are meaningless),
-    closed by a host readback of a result-derived scalar."""
+def _time_op_on_device(
+    op, n_nodes: int, dim: int, dtype, chain: int = 8, chain_long: int = 40
+):
+    """Seconds per operator application, latency-cancelled.
+
+    Each measurement is a chain of dependent applications inside one jit
+    (the axon TPU tunnel pipelines repeated identical dispatches, so
+    unchained timings are meaningless), closed by a host readback of a
+    result-derived scalar. A single chain still carries the tunnel's
+    per-dispatch round-trip (several ms — round-3 hardware logs show the
+    same candidate moving 7.7 -> 9.0 ms/apply run-to-run, i.e. the
+    latency dwarfs some candidates' real cost), so the estimate is the
+    DIFFERENCE of a long and a short chain: t_op = (t_long - t_short) /
+    (chain_long - chain), which cancels any per-call fixed cost."""
     import time as _time
 
     u = jnp.zeros((n_nodes, dim), dtype=dtype)
 
-    def chained(v):
-        for _ in range(chain):
-            v = op(v)
-        return v
+    def make(n):
+        def chained(v):
+            for _ in range(n):
+                v = op(v)
+            return v
 
-    g = jax.jit(chained)
-    r = g(u)
-    jax.block_until_ready(r)
-    float(jnp.vdot(r[0], r[0]))  # force completion (round-2 bench lesson)
-    best = float("inf")
-    for _ in range(3):
-        t0 = _time.perf_counter()
+        g = jax.jit(chained)
         r = g(u)
         jax.block_until_ready(r)
-        float(jnp.vdot(r[0], r[0]))
-        best = min(best, _time.perf_counter() - t0)
-    return best / chain
+        float(jnp.vdot(r[0], r[0]))  # force completion (round-2 lesson)
+
+        def run():
+            t0 = _time.perf_counter()
+            out = g(u)
+            jax.block_until_ready(out)
+            float(jnp.vdot(out[0], out[0]))
+            return _time.perf_counter() - t0
+
+        return run
+
+    run_s, run_l = make(chain), make(chain_long)
+    t_s = min(run_s() for _ in range(3))
+    t_l = min(run_l() for _ in range(3))
+    t_op = (t_l - t_s) / (chain_long - chain)
+    # noise floor: a negative/zero difference means the op is far cheaper
+    # than the timer noise; fall back to the optimistic long-chain mean
+    return t_op if t_op > 0 else t_l / chain_long
 
 
 def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
@@ -99,20 +118,26 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     import os as _os
     import time as _time
 
-    # ordered by prior on winning (pallas = round-2's measured best first)
+    # ordered by prior on winning (vmem keeps the whole field in VMEM and
+    # touches HBM once per apply — by construction the closest to
+    # speed-of-light; pallas slab = round-2's measured best of the rest)
     # so the wall-clock budget below cuts the least-likely candidates:
     # compile time on the tunneled TPU is the real cost of tuning, and a
     # driver-run bench must never stall in setup
     candidates = {}
+    from ..ops.stencil import make_q1_stencil_operator
+
+    candidates["stencil_vmem"] = lambda: make_q1_stencil_operator(
+        space_c, E_c, dtype, strategy="vmem"
+    )
     if use_pallas:
         from ..ops.pallas_structured import make_structured_operator_auto
 
         candidates["pallas"] = lambda: make_structured_operator_auto(
             space_c, E_c, dtype, precision="default"
         )
-    from ..ops.stencil import make_q1_stencil_operator
 
-    for strat in ("flatx", "flat", "banded", "conv", "shift"):
+    for strat in ("banded", "flatx", "flat", "conv", "shift"):
         name = "stencil" if strat == "shift" else f"stencil_{strat}"
         candidates[name] = (
             lambda strat=strat: make_q1_stencil_operator(
@@ -504,6 +529,7 @@ class GeometricMultigrid:
             _known = (
                 "auto", "xla", "pallas", "stencil", "stencil_conv",
                 "stencil_banded", "stencil_flat", "stencil_flatx",
+                "stencil_vmem",
             )
             if backend not in _known:
                 # a typo would otherwise silently fall through to the
@@ -524,10 +550,26 @@ class GeometricMultigrid:
                         space_c, E_c, dtype, use_pallas
                     )
                 else:
-                    # off-TPU / sharded / small levels: fixed heuristic
-                    # (pallas auto-falls back to XLA off-TPU; the stencil
-                    # beats per-cell XLA when Pallas is disabled)
-                    backend = "pallas" if use_pallas else "stencil"
+                    hit = _AUTOTUNE_CACHE.get(
+                        (str(jnp.dtype(dtype)), use_pallas)
+                    )
+                    if (
+                        jax.default_backend() == "tpu"
+                        and device_mesh is None
+                        and hit is not None
+                    ):
+                        # reuse the winner measured at a larger level:
+                        # levels build fine -> coarse, and the candidates'
+                        # ranking is a layout question that holds (and the
+                        # vmem kernel's VMEM budget only loosens) as the
+                        # lattice shrinks
+                        backend = hit[0]
+                    else:
+                        # off-TPU / sharded / small levels: fixed heuristic
+                        # (pallas auto-falls back to XLA off-TPU; the
+                        # stencil beats per-cell XLA when Pallas is
+                        # disabled)
+                        backend = "pallas" if use_pallas else "stencil"
             if backend.startswith("stencil"):
                 from ..ops.stencil import make_q1_stencil_operator
 

@@ -188,6 +188,25 @@ def test_geometry_skeleton_reuse_across_mass_coeff():
     assert not np.allclose(np.asarray(mg_cached(r)), np.asarray(mg1(r)))
 
 
+def test_vmem_backend_matches_default_hierarchy():
+    """mg_level_backend='stencil_vmem' (whole-field-in-VMEM Pallas level
+    operators; interpret mode off-TPU) builds the same V-cycle as the
+    default stencil backend to solver accuracy (3D, so the vmem kernel is
+    actually exercised rather than falling back to shift)."""
+    space, A, diag, mask, mg_ref = _setup(
+        2, 1, dim=3, level_backend="stencil"
+    )
+    _, _, _, _, mg_vmem = _setup(2, 1, dim=3, level_backend="stencil_vmem")
+    r = mask * jnp.asarray(
+        np.random.default_rng(5).standard_normal((space.n_nodes, 3))
+    )
+    z_ref = np.asarray(mg_ref(r))
+    z_vmem = np.asarray(mg_vmem(r))
+    np.testing.assert_allclose(
+        z_vmem, z_ref, rtol=0, atol=1e-11 * np.abs(z_ref).max()
+    )
+
+
 def test_unknown_level_backend_rejected():
     """A typo'd mg_level_backend must raise, not silently fall through to
     the slowest per-cell XLA formulation."""
@@ -213,7 +232,7 @@ def test_autotune_q1_backend_picks_valid_and_caches():
     winner = mgmod._autotune_q1_backend(space, E, jnp.float32, use_pallas=False)
     assert winner in (
         "stencil", "stencil_conv", "stencil_banded", "stencil_flat",
-        "stencil_flatx",
+        "stencil_flatx", "stencil_vmem",
     )
     key = ("float32", False)
     assert mgmod._AUTOTUNE_CACHE[key] == (winner, space.n_nodes)

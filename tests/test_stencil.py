@@ -71,12 +71,13 @@ def test_low_precision_io_roundtrip():
     )
 
 
-@pytest.mark.parametrize("strategy", ["conv", "banded", "flat", "flatx"])
+@pytest.mark.parametrize("strategy", ["conv", "banded", "flat", "flatx", "vmem"])
 @pytest.mark.parametrize("dim,reps", CASES)
 def test_mxu_strategies_match_shift(strategy, dim, reps):
-    """The conv / banded-matmul / lane-flattened interior formulations
-    compute the same
-    contraction as the shift form (2D silently falls back to shift)."""
+    """The conv / banded-matmul / lane-flattened / whole-field-VMEM-Pallas
+    interior formulations compute the same
+    contraction as the shift form (2D silently falls back to shift; vmem
+    runs the Pallas kernel in interpret mode off-TPU)."""
     space, E = _setup(dim, reps)
     ref = make_structured_operator(space, E, jnp.float64)
     st = make_q1_stencil_operator(space, E, jnp.float64, strategy=strategy)
