@@ -184,6 +184,53 @@ def run_steps(model, n_steps, magnitude=1000.0):
     return elapsed, diags
 
 
+def _time_chained(fn_of_x, zero, chain_short=4, chain_long=24, reps=5):
+    """Latency-cancelled seconds per evaluation of `fn_of_x` (a
+    field -> field function): time a long and a short chain of dependent
+    applications inside one jit each and divide the difference.
+
+    The axon tunnel adds a LARGE, NOISY round trip to every dispatch
+    (measured on hardware: a chain of 1 and a chain of 40 applications
+    of a 97k-DoF operator both take ~60 ms wall — the op itself is
+    <0.5 ms and the rest is tunnel, with +-5 ms run-to-run noise even on
+    a min of 5). A single-dispatch timing of a cheap component therefore
+    measures the tunnel, not the op. The chain difference cancels the
+    fixed per-call cost, and the wide chain spread (default 20) divides
+    the residual noise so it cannot inflate a plausibility floor by more
+    than ~0.25 ms/apply. Each run is closed by a host readback of a
+    result-derived scalar (round-2 lesson)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(n):
+        def chained(x):
+            for _ in range(n):
+                x = fn_of_x(x)
+            return x
+
+        g = jax.jit(chained)
+        out = g(zero)
+        jax.block_until_ready(out)
+        float(jnp.vdot(out[0], out[0]))
+
+        def run():
+            t0 = time.perf_counter()
+            r = g(zero)
+            jax.block_until_ready(r)
+            float(jnp.vdot(r[0], r[0]))
+            return time.perf_counter() - t0
+
+        return run
+
+    run_s, run_l = make(chain_short), make(chain_long)
+    t_s = min(run_s() for _ in range(reps))
+    t_l = min(run_l() for _ in range(reps))
+    t = (t_l - t_s) / (chain_long - chain_short)
+    # a non-positive difference means the op is under the timer noise;
+    # fall back to the optimistic long-chain mean
+    return t if t > 0 else t_l / chain_long
+
+
 def _plausibility_guard(model, state, stress, diag, step_times):
     """Fail loudly if the measured per-step time is below a floor derived
     from independently timed solver components (round-2 verdict item 1:
@@ -196,39 +243,33 @@ def _plausibility_guard(model, state, stress, diag, step_times):
     (newton_its - 1) f32 evaluations, x0.5 generous safety margin for
     timer noise: a hard lower bound on any honest step time under EITHER
     schedule. For the linear model the bound is the cg_its Krylov
-    operator applications of the theta-scheme solve.
+    operator applications of the theta-scheme solve. Component times are
+    measured latency-cancelled (`_time_chained`) — the bench step is ONE
+    dispatch, so its wall time must not be compared against floors that
+    embed a per-dispatch tunnel round trip per component eval.
     """
-    import jax
     import jax.numpy as jnp
 
     zero = jnp.zeros_like(state.displacement)
 
     if hasattr(model, "residual"):  # nonlinear: residual evaluations
 
-        @jax.jit
-        def one_component(d):
+        def res64(d):
             r, _ = model.residual(d, state, stress)
-            return jnp.vdot(r, r)
+            return r
 
         n_evals = max(1, diag["newton_its"])
         if getattr(model, "_int_force32_J", None) is not None and n_evals > 1:
             # mixed schedule possible: count all but the iteration-0
             # anchor at the (cheaper) f32 evaluation cost
 
-            @jax.jit
-            def one_component32(d):
+            def res32(d):
                 r, _ = model._residual32(d, state, stress)
-                return jnp.vdot(r, r)
+                return r
 
-            float(one_component32(zero))  # compile
-            t32 = min(
-                _timed(lambda: float(one_component32(zero)))
-                for _ in range(3)
-            )
-            float(one_component(zero))  # compile
-            t64 = min(
-                _timed(lambda: float(one_component(zero))) for _ in range(3)
-            )
+            z32 = zero.astype(model.solve_dtype)
+            t32 = _time_chained(lambda d: res32(d.astype(z32.dtype)), z32)
+            t64 = _time_chained(res64, zero)
             floor = 0.5 * (t64 + (n_evals - 1) * t32)
             per_step = min(step_times)
             print(
@@ -248,20 +289,12 @@ def _plausibility_guard(model, state, stress, diag, step_times):
                 )
                 sys.exit(3)
             return
+        t_res = _time_chained(res64, zero)
     else:  # linear: stepping-operator applications inside CG
-        A_lo = model.A_lo
         zero = zero.astype(model.solve_dtype)
-
-        @jax.jit
-        def one_component(d):
-            return jnp.vdot(A_lo(d), d)
-
+        t_res = _time_chained(model.A_lo, zero)
         n_evals = max(1, diag["cg_its"])
 
-    float(one_component(zero))  # compile
-    t_res = min(
-        _timed(lambda: float(one_component(zero))) for _ in range(3)
-    )
     floor = 0.5 * n_evals * t_res
     per_step = min(step_times)
     print(
@@ -280,12 +313,6 @@ def _plausibility_guard(model, state, stress, diag, step_times):
             file=sys.stderr,
         )
         sys.exit(3)
-
-
-def _timed(fn):
-    t = time.perf_counter()
-    fn()
-    return time.perf_counter() - t
 
 
 def _enable_compile_cache():

@@ -35,6 +35,10 @@ import numpy as np
 
 
 def timeit(fn, *args, n=10):
+    """Per-call seconds over a pipelined burst of identical dispatches.
+    Amortizes (but does not cancel) the axon tunnel's per-dispatch round
+    trip; use `timeit_chained` for cheap field->field components where
+    the residual latency would dominate."""
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -42,6 +46,14 @@ def timeit(fn, *args, n=10):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n
+
+
+def timeit_chained(fn_of_x, zero):
+    """Latency-cancelled per-application seconds of a field->field fn
+    (long-minus-short dependent chains; see bench._time_chained)."""
+    from bench import _time_chained
+
+    return _time_chained(fn_of_x, zero)
 
 
 def main():
@@ -57,10 +69,10 @@ def main():
     stress_np[space.boundary_nodes[model.interface_id], 0] = 1000.0
     stress = jnp.asarray(stress_np, dtype=model.dtype)
 
-    # f64 residual
-    res_fn = jax.jit(lambda d: model.residual(d, state, stress)[0])
+    # f64 residual (latency-cancelled: the tunnel's per-dispatch round
+    # trip is comparable to some of these components)
     zero = jnp.zeros((space.n_nodes, space.dim), dtype=model.dtype)
-    t = timeit(res_fn, zero)
+    t = timeit_chained(lambda d: model.residual(d, state, stress)[0], zero)
     print(f"f64 residual eval:        {t*1e3:9.2f} ms")
 
     # f32 tangent action (linearize once per Newton it, jvp per CG it)
@@ -68,8 +80,16 @@ def main():
     u_t = state.displacement.astype(tdt)
     v32 = jnp.ones((space.n_nodes, space.dim), dtype=tdt)
 
-    lin_fn = jax.jit(lambda u: jax.linearize(model._int_force_t, u)[0])
-    t = timeit(lin_fn, u_t)
+    if getattr(model, "_residual32", None) is not None:
+        z32 = zero.astype(tdt)
+        t = timeit_chained(
+            lambda d: model._residual32(d.astype(tdt), state, stress)[0], z32
+        )
+        print(f"f32 residual eval:        {t*1e3:9.2f} ms")
+
+    t = timeit_chained(
+        lambda u: jax.linearize(model._int_force_t, u)[0], u_t
+    )
     print(f"linearize primal (f32):   {t*1e3:9.2f} ms")
 
     def tangent_apply(u, v):
@@ -91,12 +111,12 @@ def main():
 
     # mass op f32
     if model.M_t is not None:
-        t = timeit(jax.jit(lambda v: model.M_t(v)), v32)
+        t = timeit_chained(model.M_t, v32)
         print(f"mass matvec (f32):        {t*1e3:9.2f} ms")
 
     # MG V-cycle
     if model._precond is not None:
-        t = timeit(jax.jit(lambda r: model._precond(r)), v32)
+        t = timeit_chained(model._precond, v32)
         print(f"MG V-cycle (precond):     {t*1e3:9.2f} ms")
 
     # fixed 10-iteration CG on the constant mass-proxy operator (isolates
