@@ -210,16 +210,19 @@ class LinearElastodynamics:
                     "supported; use element_backend='auto'/'structured' "
                     "(GSPMD lattice sharding) for MG on a device mesh"
                 )
-            from ..ops.structured import make_structured_operator
+            from ..ops.pallas_phase import make_q2_operator_auto
             from ..solvers.multigrid import GeometricMultigrid
 
             c = (theta * dt) ** 2
             pdt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
                 params.precond_dtype, sdt
             )
-            # preconditioner-internal: fast default precision
-            A_p = make_structured_operator(
-                self.space, A_e, pdt, precision="default"
+            # preconditioner-internal: fast default precision; degree-2
+            # fine proxy uses the phase-split Pallas kernel on TPU
+            # (single-device — see nonlinear model note)
+            A_p = make_q2_operator_auto(
+                self.space, A_e, pdt, precision="default",
+                use_pallas=params.use_pallas and device_mesh is None,
             )
             fmask = self.mask.astype(pdt)
 

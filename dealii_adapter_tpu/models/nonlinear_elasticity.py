@@ -622,15 +622,20 @@ class NonlinearElasticity:
                     "(GSPMD lattice sharding) for the MG production config "
                     "on a device mesh"
                 )
-            from ..ops.structured import make_structured_operator
+            from ..ops.pallas_phase import make_q2_operator_auto
             from ..solvers.multigrid import GeometricMultigrid
 
             pdt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}.get(
                 params.precond_dtype, sdt
             )
-            # preconditioner-internal: fast default precision
-            proxy = make_structured_operator(
-                space, Ke_precond, pdt, precision="default"
+            # preconditioner-internal: fast default precision. On TPU the
+            # degree-2 fine proxy uses the phase-split Pallas kernel (the
+            # ~4 proxy applies per V-cycle are the dominant per-CG cost at
+            # bench scale); single-device only — under GSPMD the XLA
+            # formulation shards, a Pallas kernel would gather
+            proxy = make_q2_operator_auto(
+                space, Ke_precond, pdt, precision="default",
+                use_pallas=params.use_pallas and self.device_mesh is None,
             )
             fmask = self.mask.astype(pdt)
 

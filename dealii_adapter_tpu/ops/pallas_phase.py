@@ -1,0 +1,260 @@
+"""Phase-split Pallas TPU kernel for the Q2 structured element operator.
+
+The MG fine level smooths on a *constant* small-strain Q2 proxy operator
+(models/nonlinear_elasticity.py MG branch); with the Q1 level operators at
+~0.07 ms/apply, the ~4 Q2 proxy applies per V-cycle are the dominant
+per-CG-iteration cost at bench scale (~3.5 ms each through the XLA
+extract -> (81,81) matmul -> overlap-add path, ~10x the operator's HBM
+working set).
+
+This module removes the stride-2 access pattern that blocks the Q1 slab
+kernel (ops/pallas_structured.py) from generalizing to degree 2:
+
+* split the Q2 node lattice into its 8 parity phases
+  v[pz,py,px][i,j,k] = u[2i+pz, 2j+py, 2k+px]  (zero-padded to a common
+  (ncz+1, ncy+1, ncx+1) cell-lattice shape);
+* a Q2 local node offset o in {0,1,2} per axis decomposes uniquely into
+  (cell offset o//2 in {0,1}, phase o%2) — so on the 24-channel
+  (3 components x 8 phases) phase lattice the Q2 operator is EXACTLY a
+  Q1-structure slot-pair operator with offsets in {0,1}^3 and a
+  (8*24, 8*24) remapped element matrix;
+* the existing slab kernel (`_make_slab_kernel_3d`, nch=24) then applies
+  it in one fused VMEM pass: aligned offset-{0,1} windows, sequential
+  z-slab grid with a carried boundary plane, ghost-cell masking.
+
+All 81x81x9 element couplings are applied exactly (f32 accumulation; bf16
+or f32 I/O to match the V-cycle hierarchy dtype); the phase
+split/interleave itself is two XLA reshapes on the nodal lattice.
+
+Replaces the deal.II sparse SpMV consumed by the reference CG solvers
+(`linear_elasticity.cc:536-555` CG loop; assembly `:276-345`) for the
+degree-2 fine level of the geometric multigrid preconditioner.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.dofspace import DofSpace
+from .structured import _grid_shape, make_structured_operator
+from .pallas_structured import _I0, _PALLAS_OK, _make_slab_kernel_3d
+
+if _PALLAS_OK:  # pragma: no branch - mirrors pallas_structured's probe
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+
+def _phase_element_matrix(E: np.ndarray, swap: bool) -> np.ndarray:
+    """(81,81) canonical Q2 element matrix (node-major, slot order
+    s = c*9 + b*3 + a over grid axes (z, y, x), x fastest) -> the
+    (8*24, 8*24) Q1-view matrix over (slot offset in {0,1}^3, phase, comp)
+    with kernel channel layout ch = phase*3 + comp and kernel slot order
+    (z, A, L) matching `_make_slab_kernel_3d`'s `slots`."""
+    dim = 3
+    offs = []
+    for c in range(3):
+        for b in range(3):
+            for a in range(3):
+                # canonical per-axis offsets (z=c, y=b, x=a); kernel axes
+                # are (z, A, L) = (z, x, y) when the caller swaps the
+                # in-plane axes to put the longer extent on lanes
+                offs.append((c, a, b) if swap else (c, b, a))
+    nch = 8 * dim
+
+    def enc(off):
+        oz, oA, oL = off
+        soff = (oz // 2) * 4 + (oA // 2) * 2 + (oL // 2)
+        ph = ((oz % 2) * 2 + (oA % 2)) * 2 + (oL % 2)
+        return soff, ph
+
+    Et = np.zeros((8 * nch, 8 * nch))
+    for s, os_ in enumerate(offs):
+        ss, phs = enc(os_)
+        for t, ot in enumerate(offs):
+            st, pht = enc(ot)
+            rs = ss * nch + phs * dim
+            ct = st * nch + pht * dim
+            Et[rs : rs + dim, ct : ct + dim] += E[
+                s * dim : s * dim + dim, t * dim : t * dim + dim
+            ]
+    return Et
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasQ2PhaseOperator:
+    """Phase-split slab-fused Q2 structured operator (3D): same call
+    surface as StructuredOperator. I/O in `dtype_name` (f32 or bf16),
+    accumulation in f32 (f64 under interpret tests)."""
+
+    E_host: tuple  # hashable host copy of the (81,81) element matrix
+    grid_shape: Tuple[int, ...]  # (nz, ny, nx) node lattice, slowest first
+    dtype_name: str
+    slab: int = 2
+    interpret: bool = False
+
+    def _E(self) -> np.ndarray:
+        return np.asarray(self.E_host, dtype=np.float64)
+
+    @functools.cached_property
+    def _apply(self):
+        dim = 3
+        dtype = jnp.dtype(self.dtype_name)
+        cdtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        nz, ny, nx = self.grid_shape
+        CZ, CY, CX = (nz - 1) // 2, (ny - 1) // 2, (nx - 1) // 2
+        swap = ny > nx  # longer in-plane extent on the lane (last) axis
+        CA, CL = (CX, CY) if swap else (CY, CX)
+        Et = _phase_element_matrix(self._E(), swap)
+        nch = 24
+        # phase-cell lattice: Pz "node" planes of (PA, PL)
+        Pz, PA, PL = CZ + 1, CA + 1, CL + 1
+        B = max(1, min(self.slab, Pz - 1))
+        n_steps = -(-Pz // B)  # cdiv over phase node planes
+        z_pad = n_steps * B + 1
+        kernel = _make_slab_kernel_3d(Et, PA, PL, CZ, B, dtype, cdtype, nch)
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nch, n_steps * B, PA, PL), dtype),
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (nch, B, PA, PL),
+                    lambda k: (_I0, k, _I0, _I0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nch, 1, PA, PL),
+                    lambda k: (_I0, (k + np.int32(1)) * np.int32(B), _I0, _I0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (nch, B, PA, PL),
+                lambda k: (_I0, k, _I0, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((nch, PA, PL), cdtype)],
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=self.interpret,
+        )
+
+        def apply(u):
+            ug = u.reshape((nz, ny, nx, dim))
+            ut = jnp.moveaxis(ug, -1, 0).astype(dtype)  # (dim, z, y, x)
+            if swap:
+                ut = ut.transpose(0, 1, 3, 2)  # (dim, z, A, L)
+            # phase split: pad every axis to even, reshape (P*, 2) pairs
+            ut = jnp.pad(ut, ((0, 0), (0, 1), (0, 1), (0, 1)))
+            v = ut.reshape(dim, Pz, 2, PA, 2, PL, 2)
+            v = v.transpose(2, 4, 6, 0, 1, 3, 5).reshape(nch, Pz, PA, PL)
+            v = jnp.pad(v, ((0, 0), (0, z_pad - Pz), (0, 0), (0, 0)))
+            out = call(v, v)[:, :Pz]
+            # interleave phases back onto the nodal lattice
+            o = out.reshape(2, 2, 2, dim, Pz, PA, PL)
+            o = o.transpose(3, 4, 0, 5, 1, 6, 2)
+            o = o.reshape(dim, 2 * Pz, 2 * PA, 2 * PL)
+            o = o[:, : 2 * CZ + 1, : 2 * CA + 1, : 2 * CL + 1]
+            if swap:
+                o = o.transpose(0, 1, 3, 2)
+            return jnp.moveaxis(o, 0, -1).reshape(-1, dim)
+
+        return apply
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(u).astype(u.dtype)
+
+    def diagonal(self) -> jnp.ndarray:
+        """Assembled diagonal (host-computed once, device constant)."""
+        E = self._E()
+        dim = 3
+        d = np.diag(E).reshape(27, dim)
+        nz, ny, nx = self.grid_shape
+        reps_rev = ((nz - 1) // 2, (ny - 1) // 2, (nx - 1) // 2)
+        out = np.zeros((nz, ny, nx, dim))
+        si = 0
+        for c in range(3):
+            for b in range(3):
+                for a in range(3):
+                    sl = (
+                        slice(c, c + (reps_rev[0] - 1) * 2 + 1, 2),
+                        slice(b, b + (reps_rev[1] - 1) * 2 + 1, 2),
+                        slice(a, a + (reps_rev[2] - 1) * 2 + 1, 2),
+                    )
+                    out[sl] += d[si]
+                    si += 1
+        return jnp.asarray(
+            out.reshape(-1, dim), dtype=jnp.dtype(self.dtype_name)
+        )
+
+
+def pallas_q2_supported(space: DofSpace, dtype) -> bool:
+    """Gate: TPU backend, Q2, 3D, f32/bf16 (same rationale as
+    `pallas_q1_supported`; 2D Q2 stays on the XLA path — the fine level
+    cost is a 3D-bench problem)."""
+    if not _PALLAS_OK:
+        return False
+    if space.mesh.degree != 2 or space.dim != 3:
+        return False
+    if jnp.dtype(dtype) not in (jnp.float32, jnp.bfloat16):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def make_pallas_q2_operator(
+    space: DofSpace,
+    E: np.ndarray,
+    dtype=jnp.float32,
+    slab: int = 2,
+    interpret: bool = False,
+) -> PallasQ2PhaseOperator:
+    E = np.asarray(E, dtype=np.float64)
+    return PallasQ2PhaseOperator(
+        E_host=tuple(tuple(row) for row in E),
+        grid_shape=_grid_shape(space),
+        dtype_name=str(jnp.dtype(dtype)),
+        slab=slab,
+        interpret=interpret,
+    )
+
+
+def make_q2_operator_auto(
+    space: DofSpace,
+    E: np.ndarray,
+    dtype=jnp.float32,
+    precision: str = "default",
+    use_pallas: bool = True,
+):
+    """Phase-split Pallas Q2 operator when supported, XLA structured
+    formulation otherwise. The Pallas path applies the identical per-cell
+    arithmetic (f32), so callers need no behavioral switch."""
+    if use_pallas and pallas_q2_supported(space, dtype):
+        try:
+            op = make_pallas_q2_operator(space, E, dtype)
+            # build-time smoke test on the real shape: an unsupported
+            # Mosaic lowering falls back here instead of failing inside
+            # the enclosing model jit
+            probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
+            jax.block_until_ready(op(probe))
+            return op
+        except Exception:  # noqa: BLE001 - any lowering failure -> XLA
+            pass
+    return make_structured_operator(space, E, dtype, precision)
+
+
+__all__ = [
+    "PallasQ2PhaseOperator",
+    "make_pallas_q2_operator",
+    "make_q2_operator_auto",
+    "pallas_q2_supported",
+]

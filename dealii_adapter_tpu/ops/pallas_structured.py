@@ -193,16 +193,21 @@ except Exception:  # noqa: BLE001
     _PALLAS_OK = False
 
 
-def _make_slab_kernel_3d(E, nA, nL, ncz, B, io_dtype, cdtype):
+def _make_slab_kernel_3d(E, nA, nL, ncz, B, io_dtype, cdtype, nch=3):
     """Slab kernel: grid step k consumes node planes [kB, kB+B] and writes
     node planes [kB, kB+B). vs the plane-at-a-time kernel: B cell planes of
     slot-pair FMAs per step (amortizing per-step overhead), overlap-add via
     read-modify-write slice accumulation on a VMEM scratch slab (no
     concatenate/pad copies), and the in-plane axes are pre-swapped by the
-    caller so the LONGER extent rides the 128-wide lane dimension."""
+    caller so the LONGER extent rides the 128-wide lane dimension.
+
+    `nch` is the per-node channel count: 3 (displacement components) for the
+    Q1 operator; 24 (3 components x 8 parity phases) when the kernel is
+    reused as the phase-split Q2 operator (ops/pallas_phase.py), where E is
+    the (8*nch, 8*nch) phase-remapped element matrix."""
     slots = [(c, b, a) for c in (0, 1) for b in (0, 1) for a in (0, 1)]
     ncA, ncL = nA - 1, nL - 1
-    dim = 3
+    dim = nch
 
     def kernel(uA_ref, uB_ref, out_ref, carry):
         k = pl.program_id(0)
