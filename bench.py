@@ -26,12 +26,33 @@ BENCH_MODEL ("nonlinear" default; "linear" benches the theta-scheme
 linear-elastodynamics solver — BASELINE.md config 2: 3D Q2 ~100k DoF,
 `ir_cg_solve` to the reference's absolute 1e-10 contract, default
 BENCH_SCALE 4).
+
+Cold-start contract (round-3 post-mortem): the run must land its JSON
+inside the driver's ~30-minute window from a COLD compilation cache.
+Everything answerable once per hardware (MG backend autotune winner,
+guard component timings) persists to `.bench_autotune.json`
+(utils/tunecache.py, committed) and is skipped on a hit
+(BENCH_GUARD_REMEASURE=1 / MG_AUTOTUNE_REMEASURE=1 force re-measuring);
+the metric JSON prints BEFORE the plausibility guard runs (a killed
+guard must not erase a finished measurement — guard failure still
+exits 3); all child output streams through line-by-line so a timeout
+leaves a diagnostic tail; every phase logs a timestamped line.
 """
 
 import json
 import os
 import sys
 import time
+
+_T0 = time.perf_counter()
+
+
+def _log(msg):
+    """Timestamped progress line on stderr: a driver-side timeout must
+    leave an attributable trail of WHERE the run's time went (round-3
+    driver bench died with an empty tail)."""
+    print(f"bench[{time.perf_counter() - _T0:7.1f}s]: {msg}", file=sys.stderr)
+    sys.stderr.flush()
 
 
 def build_model(scale, dtype, degree, device_mesh=None):
@@ -145,21 +166,24 @@ def run_steps(model, n_steps, magnitude=1000.0):
 
     state = model.initial_state()
     # warmup: compile + first step (excluded from timing)
+    _log("warmup step (compiles the full step program on a cache miss)...")
     state, info = model.step(state, stress)
     jax.block_until_ready(state)
     float(jnp.vdot(state.displacement, state.displacement))
+    _log("warmup done; timing begins")
 
     diags = []
     step_times = []
     checksums = []
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for i in range(n_steps):
         ts = time.perf_counter()
         state, info = model.step(state, stress)
         # host readback derived from the result: forces completion on
         # device AND transfer of the derived scalar before the clock stops
         checksums.append(float(jnp.vdot(state.displacement, state.displacement)))
         step_times.append(time.perf_counter() - ts)
+        _log(f"timed step {i + 1}/{n_steps}: {step_times[-1]:.3f}s")
     elapsed = time.perf_counter() - t0
     diag = dict(
         max_u=float(jnp.max(jnp.abs(state.displacement))),
@@ -180,11 +204,15 @@ def run_steps(model, n_steps, magnitude=1000.0):
             residual=float(info.residual),
         )
     diags.append(diag)
-    _plausibility_guard(model, state, stress, diags[-1], step_times)
-    return elapsed, diags
+    # NOTE: the plausibility guard is NOT run here — main() prints the
+    # metric JSON first and runs the guard after (round-3 driver bench
+    # died inside setup/guard compiles, erasing a finished measurement;
+    # a killed guard must never erase the metric). Guard failure still
+    # exits(3) before a 0 return code.
+    return elapsed, diags, (model, state, stress)
 
 
-def _time_chained(fn_of_x, zero, chain_short=4, chain_long=24, reps=5):
+def _time_chained(fn_of_x, zero, chain_short=2, chain_long=10, reps=5):
     """Latency-cancelled seconds per evaluation of `fn_of_x` (a
     field -> field function): time a long and a short chain of dependent
     applications inside one jit each and divide the difference.
@@ -195,10 +223,13 @@ def _time_chained(fn_of_x, zero, chain_short=4, chain_long=24, reps=5):
     <0.5 ms and the rest is tunnel, with +-5 ms run-to-run noise even on
     a min of 5). A single-dispatch timing of a cheap component therefore
     measures the tunnel, not the op. The chain difference cancels the
-    fixed per-call cost, and the wide chain spread (default 20) divides
-    the residual noise so it cannot inflate a plausibility floor by more
-    than ~0.25 ms/apply. Each run is closed by a host readback of a
-    result-derived scalar (round-2 lesson)."""
+    fixed per-call cost, and the chain spread (default 8) divides the
+    residual noise to well under a ms/apply — enough for a ~2x-margin
+    plausibility floor on multi-ms components (the defaults are kept
+    short because each chain is a separate jit compile of an unrolled
+    program at bench scale, and the round-3 driver bench died compiling
+    the previous 4/24 chains cold). Each run is closed by a host
+    readback of a result-derived scalar (round-2 lesson)."""
     import jax
     import jax.numpy as jnp
 
@@ -247,12 +278,30 @@ def _plausibility_guard(model, state, stress, diag, step_times):
     measured latency-cancelled (`_time_chained`) — the bench step is ONE
     dispatch, so its wall time must not be compared against floors that
     embed a per-dispatch tunnel round trip per component eval.
+
+    Component times are a property of (device kind, model, shape, dtype),
+    so they are persisted to the tunecache sidecar: a fresh process skips
+    the chained-program compiles on a hit (round-3: the guard's cold
+    compiles at 1M DoF helped kill the driver's run before any JSON was
+    printed). BENCH_GUARD_REMEASURE=1 forces re-measurement.
     """
     import jax.numpy as jnp
 
-    zero = jnp.zeros_like(state.displacement)
+    from dealii_adapter_tpu.utils import tunecache
 
-    if hasattr(model, "residual"):  # nonlinear: residual evaluations
+    zero = jnp.zeros_like(state.displacement)
+    kind = "nonlinear" if hasattr(model, "residual") else "linear"
+    skey = tunecache.hardware_key(
+        "guard", kind, state.displacement.shape[0] * state.displacement.shape[1],
+        str(jnp.dtype(model.dtype)), str(jnp.dtype(model.solve_dtype)),
+    )
+    cached = None
+    if not os.environ.get("BENCH_GUARD_REMEASURE"):
+        cached = tunecache.load("bench_guard", skey)
+        if cached:
+            _log(f"guard: sidecar hit ({skey})")
+
+    if kind == "nonlinear":  # nonlinear: residual evaluations
 
         def res64(d):
             r, _ = model.residual(d, state, stress)
@@ -262,14 +311,20 @@ def _plausibility_guard(model, state, stress, diag, step_times):
         if getattr(model, "_int_force32_J", None) is not None and n_evals > 1:
             # mixed schedule possible: count all but the iteration-0
             # anchor at the (cheaper) f32 evaluation cost
+            if cached and "t64_s" in cached and "t32_s" in cached:
+                t64, t32 = cached["t64_s"], cached["t32_s"]
+            else:
 
-            def res32(d):
-                r, _ = model._residual32(d, state, stress)
-                return r
+                def res32(d):
+                    r, _ = model._residual32(d, state, stress)
+                    return r
 
-            z32 = zero.astype(model.solve_dtype)
-            t32 = _time_chained(lambda d: res32(d.astype(z32.dtype)), z32)
-            t64 = _time_chained(res64, zero)
+                z32 = zero.astype(model.solve_dtype)
+                t32 = _time_chained(lambda d: res32(d.astype(z32.dtype)), z32)
+                t64 = _time_chained(res64, zero)
+                tunecache.store(
+                    "bench_guard", skey, dict(t64_s=t64, t32_s=t32)
+                )
             floor = 0.5 * (t64 + (n_evals - 1) * t32)
             per_step = min(step_times)
             print(
@@ -289,11 +344,19 @@ def _plausibility_guard(model, state, stress, diag, step_times):
                 )
                 sys.exit(3)
             return
-        t_res = _time_chained(res64, zero)
+        if cached and "t_component_s" in cached:
+            t_res = cached["t_component_s"]
+        else:
+            t_res = _time_chained(res64, zero)
+            tunecache.store("bench_guard", skey, dict(t_component_s=t_res))
     else:  # linear: stepping-operator applications inside CG
-        zero = zero.astype(model.solve_dtype)
-        t_res = _time_chained(model.A_lo, zero)
         n_evals = max(1, diag["cg_its"])
+        if cached and "t_component_s" in cached:
+            t_res = cached["t_component_s"]
+        else:
+            zero = zero.astype(model.solve_dtype)
+            t_res = _time_chained(model.A_lo, zero)
+            tunecache.store("bench_guard", skey, dict(t_component_s=t_res))
 
     floor = 0.5 * n_evals * t_res
     per_step = min(step_times)
@@ -363,7 +426,7 @@ def main():
         cores = os.cpu_count() or 1
         model = build(scale, dtype, degree)
         mdof = model.space.n_dofs / 1e6
-        elapsed, diags = run_steps(model, max(1, n_steps))
+        elapsed, diags, _ = run_steps(model, max(1, n_steps))
         val = mdof * max(1, n_steps) / elapsed
         rec = dict(
             cpu_mdof_steps_per_s=val,
@@ -388,15 +451,15 @@ def main():
         print(json.dumps(rec), file=sys.stderr)
         return
 
+    _log("building model (mesh/tabulation/MG setup)...")
     model = build(scale, dtype, degree)
     mdof = model.space.n_dofs / 1e6
-    print(
-        f"bench: model={bench_model}, {model.space.n_dofs} DoF, "
+    _log(
+        f"model built: model={bench_model}, {model.space.n_dofs} DoF, "
         f"platform={jax.devices()[0].platform}, "
-        f"dtype={dtype}, degree={degree}, steps={n_steps}",
-        file=sys.stderr,
+        f"dtype={dtype}, degree={degree}, steps={n_steps}"
     )
-    elapsed, diags = run_steps(model, n_steps)
+    elapsed, diags, guard_ctx = run_steps(model, n_steps)
     value = mdof * n_steps / elapsed
     print(f"diags: {diags}", file=sys.stderr)
 
@@ -443,15 +506,63 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+    # the guard runs AFTER the metric is on stdout: a timeout during its
+    # (possibly cold) chained compiles must not erase the measurement.
+    # An implausible measurement still fails the run: exit(3) turns the
+    # already-printed JSON into a non-result for the driver.
+    _log("metric printed; running plausibility guard")
+    g_model, g_state, g_stress = guard_ctx
+    _plausibility_guard(g_model, g_state, g_stress, diags[-1],
+                        diags[-1]["step_times"])
+    _log("guard passed")
+
+
+def _run_streaming(cmd, env):
+    """Run `cmd`, TEEING child stdout/stderr line-by-line to our own
+    streams while accumulating them for failure-mode classification.
+
+    Round-3 post-mortem: the previous `capture_output=True` buffered the
+    child's entire output in this process, so when the driver's outer
+    timeout killed the bench, every diagnostic line was lost and
+    BENCH_r03.json recorded an EMPTY tail. Streaming guarantees that
+    whatever the child printed before a kill is already in the driver's
+    capture."""
+    import subprocess
+    import threading
+
+    proc = subprocess.Popen(
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True, bufsize=1,
+    )
+    captured = {"out": [], "err": []}
+
+    def pump(stream, sink, store):
+        for line in iter(stream.readline, ""):
+            sink.write(line)
+            sink.flush()
+            store.append(line)
+        stream.close()
+
+    threads = [
+        threading.Thread(target=pump, args=(proc.stdout, sys.stdout, captured["out"])),
+        threading.Thread(target=pump, args=(proc.stderr, sys.stderr, captured["err"])),
+    ]
+    for t in threads:
+        t.daemon = True
+        t.start()
+    rc = proc.wait()
+    for t in threads:
+        t.join(timeout=10)
+    return rc, "".join(captured["out"]) + "".join(captured["err"])
 
 
 def _main_with_retry():
     """The axon-tunneled TPU occasionally drops an execution with
     UNAVAILABLE ('TPU worker process crashed or restarted'); the device
     recovers but the jax client process does not. Re-exec the bench in a
-    fresh subprocess up to 2 times on that failure mode."""
-    import subprocess
-
+    fresh subprocess up to 2 times on that failure mode, streaming its
+    output through (never buffering — see `_run_streaming`)."""
     if os.environ.get("BENCH_NO_RETRY"):
         main()
         return
@@ -462,17 +573,11 @@ def _main_with_retry():
         if attempt:
             print(f"bench: retry {attempt} after device fault", file=sys.stderr)
             time.sleep(20)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
+        last, blob = _run_streaming(
+            [sys.executable, os.path.abspath(__file__)], env
         )
-        sys.stderr.write(proc.stderr)
-        sys.stdout.write(proc.stdout)
-        sys.stdout.flush()
-        last = proc.returncode
         if last == 0:
             return
-        blob = proc.stderr + proc.stdout
         if not any(sig in blob for sig in transient):
             break  # deterministic failure (OOM, divergence, bad config)
     sys.exit(last)

@@ -235,9 +235,19 @@ def make_q2_operator_auto(
     precision: str = "default",
     use_pallas: bool = True,
 ):
-    """Phase-split Pallas Q2 operator when supported, XLA structured
-    formulation otherwise. The Pallas path applies the identical per-cell
-    arithmetic (f32), so callers need no behavioral switch."""
+    """Degree-dispatched structured operator for the MG fine level:
+    phase-split Pallas Q2 kernel when supported, the Q1 slab Pallas kernel
+    for degree-1 spaces, XLA structured formulation otherwise. Every path
+    applies the identical per-cell arithmetic (f32), so callers need no
+    behavioral switch."""
+    if space.mesh.degree == 1:
+        # degree-1 spaces take the Q1 slab kernel (pallas_structured),
+        # which has its own support gate and XLA fallback
+        from .pallas_structured import make_structured_operator_auto
+
+        return make_structured_operator_auto(
+            space, E, dtype, precision, use_pallas
+        )
     if use_pallas and pallas_q2_supported(space, dtype):
         try:
             op = make_pallas_q2_operator(space, E, dtype)
@@ -247,8 +257,17 @@ def make_q2_operator_auto(
             probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
             jax.block_until_ready(op(probe))
             return op
-        except Exception:  # noqa: BLE001 - any lowering failure -> XLA
-            pass
+        except Exception as e:  # noqa: BLE001 - any lowering failure -> XLA
+            # the fallback silently reverts the fine level to the ~10x
+            # slower XLA path, so make the degradation diagnosable
+            import sys as _sys
+
+            print(
+                "pallas_phase: Q2 phase-split kernel unavailable "
+                f"({type(e).__name__}: {e}); falling back to the XLA "
+                "structured operator for the MG fine level",
+                file=_sys.stderr,
+            )
     return make_structured_operator(space, E, dtype, precision)
 
 

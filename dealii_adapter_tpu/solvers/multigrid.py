@@ -44,7 +44,7 @@ _AUTOTUNE_CACHE: dict = {}
 
 
 def _time_op_on_device(
-    op, n_nodes: int, dim: int, dtype, chain: int = 8, chain_long: int = 40
+    op, n_nodes: int, dim: int, dtype, chain: int = 6, chain_long: int = 26
 ):
     """Seconds per operator application, latency-cancelled.
 
@@ -118,6 +118,28 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     import os as _os
     import time as _time
 
+    # persistent sidecar (round-3 driver-bench post-mortem): the winner is
+    # a property of the TPU generation + layout question, not of the
+    # process, so a fresh driver-spawned bench must NOT re-pay the 7x2
+    # chained-program compiles. Keyed by device kind + jax version +
+    # dtype/pallas; a hit at >= this level's size short-circuits setup.
+    from ..utils import tunecache
+
+    skey = tunecache.hardware_key(
+        "mg_q1", str(jnp.dtype(dtype)), f"pallas={use_pallas}"
+    )
+    if not _os.environ.get("MG_AUTOTUNE_REMEASURE"):
+        rec = tunecache.load("mg_q1_backend", skey)
+        if rec and space_c.n_nodes <= rec.get("n_nodes", 0):
+            winner = rec["winner"]
+            print(
+                f"mg autotune: sidecar hit ({skey} @ {rec['n_nodes']} "
+                f"nodes) -> {winner}",
+                file=_sys.stderr,
+            )
+            _AUTOTUNE_CACHE[key] = (winner, rec["n_nodes"])
+            return winner
+
     # ordered by prior on winning (vmem keeps the whole field in VMEM and
     # touches HBM once per apply — by construction the closest to
     # speed-of-light; pallas slab = round-2's measured best of the rest)
@@ -145,21 +167,36 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
             )
         )
 
-    budget_s = float(_os.environ.get("MG_AUTOTUNE_BUDGET_S", "300"))
+    # wall-clock budget INCLUDING candidate compile time (each candidate's
+    # `_time_op_on_device` jit-compiles two chained programs — on the
+    # tunneled TPU the compiles, not the measurements, are the real cost):
+    # the elapsed clock is checked before every candidate, and the
+    # per-candidate timer prints compile+measure cost so overruns are
+    # attributable in a killed run's log tail. A budget too small to
+    # measure anything returns the prior-ordered default instead of
+    # stalling setup.
+    budget_s = float(_os.environ.get("MG_AUTOTUNE_BUDGET_S", "240"))
     t_start = _time.perf_counter()
     dim = space_c.dim
     results = {}
     for name, build in candidates.items():
-        if results and _time.perf_counter() - t_start > budget_s:
+        elapsed = _time.perf_counter() - t_start
+        if elapsed > budget_s:
             print(
-                f"mg autotune: budget ({budget_s:.0f}s) exhausted, "
-                f"skipping {name} and later candidates",
+                f"mg autotune: budget ({budget_s:.0f}s) exhausted after "
+                f"{elapsed:.0f}s, skipping {name} and later candidates",
                 file=_sys.stderr,
             )
             break
+        t_c = _time.perf_counter()
         try:
             t = _time_op_on_device(build(), space_c.n_nodes, dim, dtype)
             results[name] = t
+            print(
+                f"mg autotune: {name} = {t*1e3:.2f} ms/apply "
+                f"(compile+measure {_time.perf_counter() - t_c:.0f}s)",
+                file=_sys.stderr,
+            )
         except Exception as e:  # noqa: BLE001 — a candidate may be
             # unavailable (e.g. Pallas off-TPU); tuning must not fail setup
             print(
@@ -167,7 +204,9 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
                 file=_sys.stderr,
             )
     if not results:
-        return "stencil"
+        # nothing measured inside the budget: fall back to the strongest
+        # prior (round-3 hardware: the Pallas slab at 0.07 ms/apply)
+        return "pallas" if use_pallas else "stencil"
     winner = min(results, key=results.get)
     timings = ", ".join(
         f"{n}={t*1e3:.2f}ms" for n, t in sorted(results.items(), key=lambda kv: kv[1])
@@ -178,6 +217,15 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
         file=_sys.stderr,
     )
     _AUTOTUNE_CACHE[key] = (winner, space_c.n_nodes)
+    tunecache.store(
+        "mg_q1_backend",
+        skey,
+        dict(
+            winner=winner,
+            n_nodes=space_c.n_nodes,
+            timings_ms={n: round(t * 1e3, 4) for n, t in results.items()},
+        ),
+    )
     return winner
 
 

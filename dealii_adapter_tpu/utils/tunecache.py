@@ -1,0 +1,93 @@
+"""Persistent measurement sidecar for setup-time autotuning.
+
+Round-3 post-mortem (VERDICT.md): the driver's bench run timed out in
+SETUP — the MG Q1 level-operator autotune jit-compiled up to 7 candidate
+backends x two chained programs each, and the bench plausibility guard
+compiled two more chained 1M-DoF residual programs, all from a cold
+compilation cache, before a single timed step ran. Every one of those
+measurements answers a question about the HARDWARE (which kernel layout
+wins on this TPU generation; what one residual evaluation costs at this
+shape), so the answer is stable across processes and rounds. This module
+persists them to a small JSON sidecar (committed to the repo, so a
+driver-spawned fresh process hits it) keyed by device kind + jax version
++ the measurement's shape/dtype identity.
+
+The file holds sections of key -> record; records carry whatever the
+caller stored plus a UTC timestamp. Writes are atomic
+(write-temp + rename) and best-effort: an unwritable location degrades
+to in-process behavior, never to a failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+
+
+def sidecar_path() -> str:
+    p = os.environ.get("TUNE_SIDECAR_FILE")
+    if p:
+        return p
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(root, ".bench_autotune.json")
+
+
+def hardware_key(*parts) -> str:
+    """Measurement identity: device kind + jax version + caller parts.
+    A jax upgrade or different TPU generation misses the cache and
+    re-measures (bounded by the caller's budget)."""
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:  # noqa: BLE001 - backend init failure -> generic key
+        kind = jax.default_backend()
+    return "|".join([kind, f"jax{jax.__version__}", *map(str, parts)])
+
+
+def load(section: str, key: str) -> Optional[dict]:
+    path = sidecar_path()
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    rec = data.get(section, {}).get(key)
+    return rec if isinstance(rec, dict) else None
+
+
+def store(section: str, key: str, record: dict) -> bool:
+    """Read-modify-write under a process lock; atomic rename. Returns
+    False (and stays silent) if the sidecar location is not writable."""
+    import datetime
+
+    path = sidecar_path()
+    record = dict(record, measured_utc=datetime.datetime.utcnow().isoformat())
+    with _LOCK:
+        try:
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except (OSError, ValueError):
+                data = {}
+            data.setdefault(section, {})[key] = record
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(path) or ".", suffix=".tunecache"
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(data, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            os.replace(tmp, path)
+            return True
+        except OSError:
+            return False
+
+
+__all__ = ["sidecar_path", "hardware_key", "load", "store"]

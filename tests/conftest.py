@@ -7,8 +7,16 @@ not enough — the platform must be overridden through jax.config before any
 backend is initialized (backends initialize lazily at first use)."""
 
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate the autotune/guard measurement sidecar (utils/tunecache.py):
+# tests must neither read hardware measurements from the committed
+# .bench_autotune.json nor write CPU-backend records into it
+os.environ.setdefault(
+    "TUNE_SIDECAR_FILE",
+    os.path.join(tempfile.mkdtemp(prefix="tunecache_"), "sidecar.json"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,8 +1,10 @@
 """Phase-split Q2 operator (ops/pallas_phase.py): the phase remap of the
 element matrix is validated by dense assembly on CPU (fast), the full
-Pallas kernel by interpret mode (slow job; on TPU the compiled kernel is
-additionally exactness-checked against the XLA formulation at build time
-by `make_q2_operator_auto`'s callers' tests)."""
+Pallas kernel by interpret mode (slow job). On TPU the compiled kernel is
+smoke-tested at build time by `make_q2_operator_auto` (zeros probe — a
+lowering check, not a parity check); compiled-vs-XLA parity on real
+hardware is exercised by `tools/tpu_parity_check.py` (run in each
+hardware session; results recorded in PERFORMANCE.md)."""
 
 import jax.numpy as jnp
 import numpy as np

@@ -73,6 +73,12 @@ def test_bench_build_model_and_step(scale):
     import bench
 
     model = bench.build_model(scale, "float64", 2)
-    elapsed, diags = bench.run_steps(model, 2)
+    elapsed, diags, guard_ctx = bench.run_steps(model, 2)
     assert elapsed > 0
     assert all(d["converged"] for d in diags)
+    # the guard now runs outside run_steps (metric-before-guard ordering);
+    # exercise it here so its code path stays covered on CPU
+    g_model, g_state, g_stress = guard_ctx
+    bench._plausibility_guard(
+        g_model, g_state, g_stress, diags[-1], diags[-1]["step_times"]
+    )
