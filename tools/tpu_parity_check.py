@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 def _rel_err(a, b):
     import jax.numpy as jnp
