@@ -60,9 +60,11 @@ def main():
         key = jax.random.PRNGKey(0)
         u = jax.random.normal(key, (n_nodes, dim), dtype=jnp.float32).astype(dtype)
         t0 = time.perf_counter()
-        out = jax.jit(op)(u)
+        # lambda-wrap: operator objects holding device arrays are not
+        # hashable, which jax.jit requires of its callable
+        out = jax.jit(lambda x: op(x))(u)
         jax.block_until_ready(out)
-        r = jax.jit(ref)(u.astype(jnp.float32))
+        r = jax.jit(lambda x: ref(x))(u.astype(jnp.float32))
         jax.block_until_ready(r)
         err = _rel_err(out.astype(jnp.float32), r)
         ok = err < tol
