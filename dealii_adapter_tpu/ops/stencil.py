@@ -214,15 +214,21 @@ def _vmem_pass(S3, shape, dim, cdt, io_dtype):
         def zbody(z, carry):
             accs = [jnp.zeros((A, L), dtype=cdt) for _ in range(dim)]
             for e in range(dim):
+                # one dynamic 3-plane load per source component; all window
+                # slices below are STATIC. Arithmetic on the induction
+                # variable (z + dz) is deliberately avoided: under
+                # jax_enable_x64 (package default) the int literal lowers
+                # as i64 and Mosaic rejects the mixed i64/i32 addi
+                # (verification error observed on v5e; interpret mode and
+                # the CPU tests mask it).
+                planes = u_ref[e, pl.ds(z, 3)].astype(cdt)  # (3, A+2, L+2)
                 for dz in range(3):
                     for da in range(3):
                         for dl in range(3):
                             col = S3p[dz, da, dl, :, e]
                             if not np.any(col):
                                 continue
-                            win = u_ref[
-                                e, z + dz, da:da + A, dl:dl + L
-                            ].astype(cdt)
+                            win = planes[dz, da:da + A, dl:dl + L]
                             for d in range(dim):
                                 w = float(col[d])
                                 if w != 0.0:
@@ -231,7 +237,9 @@ def _vmem_pass(S3, shape, dim, cdt, io_dtype):
                 out_ref[d, z] = accs[d].astype(out_ref.dtype)
             return carry
 
-        jax.lax.fori_loop(0, Z, zbody, 0)
+        # i32 loop bounds: plain-int bounds would make the induction
+        # variable i64 under x64
+        jax.lax.fori_loop(np.int32(0), np.int32(Z), zbody, np.int32(0))
 
     call = pl.pallas_call(
         kernel,

@@ -119,12 +119,18 @@ def main():
         print("q1_slab: unsupported on this backend", file=sys.stderr)
         failures.append("q1_slab_unsupported")
 
+    # banded/conv run their contraction on the MXU at DEFAULT precision
+    # (one bf16 pass, ~4e-3 rel — measured 3.98e-3 on v5e): deliberate,
+    # they are MG-level operators inside the bf16/f32 preconditioner.
+    # The elementwise-FMA strategies (vmem/flat*/shift) are true f32.
+    mxu_default = {"banded", "conv"}
     for strat in ("vmem", "banded", "flatx", "flat", "conv", "shift"):
+        tol = 2e-2 if strat in mxu_default else 1e-4
         try:
             op = make_q1_stencil_operator(space1, E1, jnp.float32,
                                           strategy=strat)
             check(f"q1_stencil_{strat}[f32]", op, ref1,
-                  space1.n_nodes, 3, jnp.float32, 1e-4)
+                  space1.n_nodes, 3, jnp.float32, tol)
         except Exception as e:  # noqa: BLE001
             print(f"q1_stencil_{strat}: build failed "
                   f"({type(e).__name__}: {e})", file=sys.stderr)
