@@ -165,6 +165,15 @@ VARIANTS.update(
     # f64-handback window of the mixed residual schedule
     prodw100=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=100.0),
     prodw300=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=300.0),
+    # FIXED forcing on the production config: every Newton solve runs to
+    # rel tol_lin=1e-6, so cg/newton directly measures preconditioner
+    # h-(in)dependence with no Eisenstat-Walker truncation masking it
+    # (round-4: resolves the PERFORMANCE.md 46->65 its/solve note, which
+    # was measured on the pre-semi-coarsening isotropic hierarchy)
+    prodfixed=dict(
+        _PROD, newton_residual="mixed", newton_forcing="fixed",
+        mg_fine_smooth_degree=1,
+    ),
 )
 
 
