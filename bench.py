@@ -437,6 +437,10 @@ def _enable_compile_cache():
 
 
 def main():
+    # attribute model-setup time phase-by-phase on stderr (round-4: the
+    # warm-cache bench still spent most of its wall inside a single silent
+    # "building model" line)
+    os.environ.setdefault("DAT_PHASE_LOG", "1")
     import dealii_adapter_tpu  # noqa: F401  (x64 config)
     import jax
 

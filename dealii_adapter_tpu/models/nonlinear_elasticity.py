@@ -181,8 +181,12 @@ class NonlinearElasticity:
         self.mesh = mesh
         self.tags = tags
         self.interface_id = tags["interface"]
+        from ..utils.phases import phase
+
+        phase("nonlinear setup: mesh ready; building DoF space")
         # quadrature degree+2 per the reference (`nonlinear_elasticity.cc:74-75`)
         self.space = DofSpace.create(mesh, n_q_1d=params.poly_degree + 2)
+        phase(f"nonlinear setup: DoF space ready ({self.space.n_dofs} DoF)")
         self.dtype = jnp.float64 if params.dtype == "float64" else jnp.float32
         self.material = NeoHookean(params.mu, params.nu, params.rho)
 
@@ -201,6 +205,7 @@ class NonlinearElasticity:
             device_mesh = make_device_mesh(params.n_devices)
         self.device_mesh = device_mesh
         self._setup_device_constants()
+        phase("nonlinear setup: done (step program compiles on first call)")
         self._step = jax.jit(self._make_step())
 
     # ------------------------------------------------------------------
@@ -548,18 +553,43 @@ class NonlinearElasticity:
                     if _PALLAS_OK and on_tpu:
                         bc = 512 if n_cells >= 512 else 128
                         edofs = npc * dim
+                        # sidecar-cached probe outcome (keyed by the kernel
+                        # source fingerprint): skips one standalone probe
+                        # compile per fresh process
+                        from ..ops import assembled_tangent as _at_mod
+                        from ..utils import tunecache
+
+                        pkey = tunecache.hardware_key(
+                            "tangent_probe", edofs, bc,
+                            str(jnp.dtype(self.solve_dtype)),
+                            tunecache.source_fingerprint(_at_mod),
+                        )
+                        rec = tunecache.load("pallas_probe", pkey)
                         try:
-                            z = jnp.zeros(
-                                (edofs, edofs, bc), dtype=self.solve_dtype
-                            )
-                            u0 = jnp.zeros((edofs, bc), dtype=self.solve_dtype)
-                            jax.block_until_ready(
-                                apply_packed_tangents_pallas(z, u0, bc)
-                            )
+                            if rec is None or not rec.get("ok"):
+                                if rec is not None and not rec.get("ok"):
+                                    raise RuntimeError("cached probe failure")
+                                z = jnp.zeros(
+                                    (edofs, edofs, bc), dtype=self.solve_dtype
+                                )
+                                u0 = jnp.zeros(
+                                    (edofs, bc), dtype=self.solve_dtype
+                                )
+                                jax.block_until_ready(
+                                    apply_packed_tangents_pallas(z, u0, bc)
+                                )
+                                tunecache.store(
+                                    "pallas_probe", pkey, dict(ok=True)
+                                )
                             self._tangent_pallas = True
                             self._tangent_block_c = bc
                             self._tangent_pad = (-n_cells) % bc
-                        except Exception:  # noqa: BLE001
+                        except Exception as e:  # noqa: BLE001
+                            if rec is None:
+                                tunecache.store(
+                                    "pallas_probe", pkey,
+                                    dict(ok=False, error=str(e)[:200]),
+                                )
                             self._tangent_pallas = False
         elif params.tangent_backend == "assembled":
             raise ValueError(
@@ -571,10 +601,13 @@ class NonlinearElasticity:
         # Jacobi preconditioner from the small-strain linearization at F = I:
         # c0 = lambda_eff IxI + 2 mu S with lambda_eff = kappa - 2 mu / dim,
         # plus the Newmark mass term alpha_1 M.
+        from ..utils.phases import phase
+
         lam_eff = self.material.kappa - 2.0 * params.mu / dim
         elemK = ElementMatrices(space, lam_eff, params.mu, params.rho)
         a1 = 0.0 if self.quasi_static else self.alpha_1
         Ke_precond = elemK.K_e + a1 * elem.M_e
+        phase("nonlinear setup: assembling Jacobi diagonal")
         diag_np = assemble_diagonal(space, Ke_precond)
         diag = self.mask * jnp.asarray(diag_np, dtype=dt) + (1.0 - self.mask)
         # preconditioners live in the dtype the Krylov solve runs in
@@ -633,6 +666,7 @@ class NonlinearElasticity:
             # ~4 proxy applies per V-cycle are the dominant per-CG cost at
             # bench scale); single-device only — under GSPMD the XLA
             # formulation shards, a Pallas kernel would gather
+            phase("nonlinear setup: building MG fine proxy operator")
             proxy = make_q2_operator_auto(
                 space, Ke_precond, pdt, precision="default",
                 use_pallas=params.use_pallas and self.device_mesh is None,
@@ -642,6 +676,7 @@ class NonlinearElasticity:
             def proxy_bc(v):
                 return fmask * proxy(fmask * v) + (1.0 - fmask) * v
 
+            phase("nonlinear setup: building MG hierarchy")
             self._precond = GeometricMultigrid(
                 self.mesh, self.tags, proxy_bc, diag.astype(pdt), fmask,
                 lmbda=lam_eff, mu=params.mu,

@@ -249,26 +249,125 @@ def make_q2_operator_auto(
             space, E, dtype, precision, use_pallas
         )
     if use_pallas and pallas_q2_supported(space, dtype):
-        try:
-            op = make_pallas_q2_operator(space, E, dtype)
-            # build-time smoke test on the real shape: an unsupported
-            # Mosaic lowering falls back here instead of failing inside
-            # the enclosing model jit
-            probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
-            jax.block_until_ready(op(probe))
-            return op
-        except Exception as e:  # noqa: BLE001 - any lowering failure -> XLA
-            # the fallback silently reverts the fine level to the ~10x
-            # slower XLA path, so make the degradation diagnosable
-            import sys as _sys
+        winner = _autotune_q2_backend(space, E, dtype, precision)
+        if winner == "pallas":
+            try:
+                from ..utils.phases import phase
 
+                phase("q2 phase kernel: compiling build-time probe")
+                op = make_pallas_q2_operator(space, E, dtype)
+                # build-time smoke test on the real shape: an unsupported
+                # Mosaic lowering falls back here instead of failing inside
+                # the enclosing model jit
+                probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
+                jax.block_until_ready(op(probe))
+                phase("q2 phase kernel: probe OK (kernel taken)")
+                return op
+            except Exception as e:  # noqa: BLE001 - lowering failure -> XLA
+                # the fallback silently reverts the fine level to the
+                # slower XLA path, so make the degradation diagnosable
+                import sys as _sys
+
+                print(
+                    "pallas_phase: Q2 phase-split kernel unavailable "
+                    f"({type(e).__name__}: {e}); falling back to the XLA "
+                    "structured operator for the MG fine level",
+                    file=_sys.stderr,
+                )
+    return make_structured_operator(space, E, dtype, precision)
+
+
+def _autotune_q2_backend(space, E, dtype, precision) -> str:
+    """Empirical fine-proxy backend pick, sidecar-persisted.
+
+    Round-4 hardware A/B at the 1.02M-DoF bench shape (tools/q2_op_ab.py,
+    bf16, latency-cancelled): XLA structured 0.59-0.74 ms/apply vs the
+    phase-split Pallas kernel 0.92 ms (slab=2; 1.27 at slab=1, 1.15 at
+    slab=4) — the round-3 assumption that the XLA path costs ~3.5 ms was
+    tunnel-latency pollution, and defaulting the kernel ON regressed the
+    bench 0.82 -> 0.89 s/step. Which formulation wins is a hardware-
+    generation question, so measure at the actual shape once and persist
+    (the kernels' source fingerprint keys the record: editing a kernel
+    re-measures instead of trusting a stale winner)."""
+    import os as _os
+    import sys as _sys
+
+    from . import pallas_structured as _ps
+    from ..utils import tunecache
+    from ..utils.devtime import time_op_on_device
+    from ..utils.phases import phase
+
+    if space.n_nodes * space.dim < 200_000:
+        # small problems: the fine proxy is not the cost center and the
+        # two chained-compile measurements would dominate setup — take the
+        # measured-at-scale default (XLA structured on v5e)
+        return "xla"
+    import sys as _m
+
+    fp = tunecache.source_fingerprint(_m.modules[__name__], _ps)
+    skey = tunecache.hardware_key(
+        "q2_fine",
+        "x".join(map(str, _grid_shape(space))),
+        str(jnp.dtype(dtype)),
+        fp,
+    )
+    if not _os.environ.get("MG_AUTOTUNE_REMEASURE"):
+        rec = tunecache.load("q2_fine_backend", skey)
+        if rec and rec.get("winner") in ("xla", "pallas"):
+            phase(f"q2 fine-proxy autotune: sidecar hit -> {rec['winner']}")
+            return rec["winner"]
+
+    results = {}
+    t_budget = float(_os.environ.get("MG_AUTOTUNE_BUDGET_S", "240"))
+    import time as _time
+
+    t0 = _time.perf_counter()
+    try:
+        xla_op = make_structured_operator(space, E, dtype, precision)
+        results["xla"] = time_op_on_device(
+            xla_op, space.n_nodes, space.dim, dtype
+        )
+    except Exception as e:  # noqa: BLE001 - measurement must not fail setup
+        print(f"q2 autotune: xla failed ({type(e).__name__})", file=_sys.stderr)
+    if _time.perf_counter() - t0 < t_budget:
+        try:
+            p_op = make_pallas_q2_operator(space, E, dtype)
+            results["pallas"] = time_op_on_device(
+                p_op, space.n_nodes, space.dim, dtype
+            )
+        except Exception as e:  # noqa: BLE001
             print(
-                "pallas_phase: Q2 phase-split kernel unavailable "
-                f"({type(e).__name__}: {e}); falling back to the XLA "
-                "structured operator for the MG fine level",
+                f"q2 autotune: pallas failed ({type(e).__name__})",
                 file=_sys.stderr,
             )
-    return make_structured_operator(space, E, dtype, precision)
+    else:
+        print(
+            f"q2 autotune: budget ({t_budget:.0f}s) exhausted before the "
+            "pallas candidate; keeping xla",
+            file=_sys.stderr,
+        )
+    if not results:
+        return "xla"
+    winner = min(results, key=results.get)
+    timings = ", ".join(
+        f"{n}={t*1e3:.2f}ms"
+        for n, t in sorted(results.items(), key=lambda kv: kv[1])
+    )
+    print(
+        f"q2 fine-proxy autotune @ {space.n_nodes} nodes "
+        f"{jnp.dtype(dtype).name}: {timings} -> {winner}",
+        file=_sys.stderr,
+    )
+    tunecache.store(
+        "q2_fine_backend",
+        skey,
+        dict(
+            winner=winner,
+            n_nodes=space.n_nodes,
+            timings_ms={n: round(t * 1e3, 4) for n, t in results.items()},
+        ),
+    )
+    return winner
 
 
 __all__ = [

@@ -283,7 +283,12 @@ def _make_slab_kernel_3d(E, nA, nL, ncz, B, io_dtype, cdtype, nch=3):
                     p = pad_ba(col, b, a)
                     outd = p if outd is None else outd + p
             first = (outd[0] + carry[d])[None]
-            outs.append(jnp.concatenate([first, outd[1:B]], axis=0))
+            # B == 1: the block is exactly the carried first plane — a
+            # zero-size outd[1:1] slice fails Mosaic vector typing
+            outs.append(
+                first if B == 1
+                else jnp.concatenate([first, outd[1:B]], axis=0)
+            )
             tops.append(outd[B])
         out_ref[...] = jnp.stack(outs, axis=0).astype(out_ref.dtype)
         carry[...] = jnp.stack(tops, axis=0)
@@ -578,19 +583,49 @@ def make_structured_operator_auto(
     The Pallas path is exact (same per-cell arithmetic, f32), so callers
     need no behavioral switch — this is purely a bandwidth optimization."""
     if use_pallas and pallas_q1_supported(space, dtype):
+        import sys as _sys
+
+        from ..utils import tunecache
+
+        # sidecar-cached probe outcome: whether this kernel lowers at this
+        # shape/dtype is a property of (kernel source, hardware, shape) —
+        # a fresh process must not re-pay one standalone probe compile per
+        # MG level (round-4 forensics: the model-build phase dominated the
+        # driver-window bench budget). The kernels' source fingerprint
+        # keys the record, so editing this file re-probes.
+        fp = tunecache.source_fingerprint(_sys.modules[__name__])
+        skey = tunecache.hardware_key(
+            "q1_slab_probe",
+            "x".join(map(str, _grid_shape(space))),
+            str(jnp.dtype(dtype)),
+            fp,
+        )
+        rec = tunecache.load("pallas_probe", skey)
         try:
             if space.dim == 3:
                 op = make_pallas_q1_slab_operator(space, E, dtype, slab=4)
             else:
                 op = make_pallas_q1_operator(space, E, dtype)
-            # build-time smoke test: force one compile on the real shape so
-            # an unsupported Mosaic lowering falls back here instead of
-            # failing inside the enclosing model jit
-            probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
-            jax.block_until_ready(op(probe))
+            if rec is None or not rec.get("ok"):
+                if rec is not None and not rec.get("ok"):
+                    raise RuntimeError("cached probe failure")
+                # build-time smoke test: force one compile on the real
+                # shape so an unsupported Mosaic lowering falls back here
+                # instead of failing inside the enclosing model jit
+                probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
+                jax.block_until_ready(op(probe))
+                tunecache.store("pallas_probe", skey, dict(ok=True))
             return op
-        except Exception:  # noqa: BLE001 - any lowering failure -> XLA path
-            pass
+        except Exception as e:  # noqa: BLE001 - any lowering failure -> XLA
+            if rec is None:
+                tunecache.store(
+                    "pallas_probe", skey, dict(ok=False, error=str(e)[:200])
+                )
+            print(
+                "pallas_structured: Q1 slab kernel unavailable "
+                f"({type(e).__name__}); using the XLA formulation",
+                file=_sys.stderr,
+            )
     return make_structured_operator(space, E, dtype, precision)
 
 

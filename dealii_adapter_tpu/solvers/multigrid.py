@@ -32,6 +32,7 @@ from ..fem.dofspace import DofSpace
 from ..mesh.generator import StructuredMesh, subdivided_hyper_rectangle
 from ..ops.element_ops import ElementMatrices, assemble_dense, assemble_diagonal
 from ..ops.structured import make_structured_operator
+from ..utils import tunecache as _tc
 
 
 # process-wide Q1 level-operator autotune results, keyed by
@@ -46,48 +47,12 @@ _AUTOTUNE_CACHE: dict = {}
 def _time_op_on_device(
     op, n_nodes: int, dim: int, dtype, chain: int = 6, chain_long: int = 26
 ):
-    """Seconds per operator application, latency-cancelled.
+    """Seconds per operator application, latency-cancelled (see
+    utils/devtime.py — scan-based chains, so each candidate costs two
+    body compiles instead of an unrolled 26-op program)."""
+    from ..utils.devtime import time_op_on_device
 
-    Each measurement is a chain of dependent applications inside one jit
-    (the axon TPU tunnel pipelines repeated identical dispatches, so
-    unchained timings are meaningless), closed by a host readback of a
-    result-derived scalar. A single chain still carries the tunnel's
-    per-dispatch round-trip (several ms — round-3 hardware logs show the
-    same candidate moving 7.7 -> 9.0 ms/apply run-to-run, i.e. the
-    latency dwarfs some candidates' real cost), so the estimate is the
-    DIFFERENCE of a long and a short chain: t_op = (t_long - t_short) /
-    (chain_long - chain), which cancels any per-call fixed cost."""
-    import time as _time
-
-    u = jnp.zeros((n_nodes, dim), dtype=dtype)
-
-    def make(n):
-        def chained(v):
-            for _ in range(n):
-                v = op(v)
-            return v
-
-        g = jax.jit(chained)
-        r = g(u)
-        jax.block_until_ready(r)
-        float(jnp.vdot(r[0], r[0]))  # force completion (round-2 lesson)
-
-        def run():
-            t0 = _time.perf_counter()
-            out = g(u)
-            jax.block_until_ready(out)
-            float(jnp.vdot(out[0], out[0]))
-            return _time.perf_counter() - t0
-
-        return run
-
-    run_s, run_l = make(chain), make(chain_long)
-    t_s = min(run_s() for _ in range(3))
-    t_l = min(run_l() for _ in range(3))
-    t_op = (t_l - t_s) / (chain_long - chain)
-    # noise floor: a negative/zero difference means the op is far cheaper
-    # than the timer noise; fall back to the optimistic long-chain mean
-    return t_op if t_op > 0 else t_l / chain_long
+    return time_op_on_device(op, n_nodes, dim, dtype, chain, chain_long)
 
 
 def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
@@ -528,14 +493,46 @@ class GeometricMultigrid:
 
         levels: List[MGLevel] = []
 
-        def lam_est(op, diag, shape):
+        def lam_est(op, diag, shape, fp=None):
+            """Power-iteration lam_max, sidecar-cached when `fp` (a content
+            fingerprint of the operator's defining data) is given: the
+            estimate is a deterministic property of (operator, diag, seed),
+            so a fresh process skips the per-level compile + dispatch — at
+            bench scale the eager lam_max programs were a measurable slice
+            of the 10-minute model-build phase (round-4 forensics). The
+            cached float round-trips JSON exactly, keeping the baked
+            Chebyshev constants (and thus the step program's HLO) bit-stable
+            across processes — which also stabilizes the .jax_cache key of
+            the big step program."""
+            from ..utils import tunecache
             from .cg import estimate_lambda_max
 
-            return float(estimate_lambda_max(op, diag, shape))
+            skey = None
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:  # noqa: BLE001
+                on_tpu = False
+            # TPU-only: the win is tunnel-bound compile/dispatch cost, and
+            # CPU test runs must not dirty the committed sidecar
+            if fp is not None and on_tpu:
+                skey = tunecache.hardware_key(
+                    "lam_max", fp, "x".join(map(str, shape)),
+                    str(jnp.dtype(diag.dtype)),
+                )
+                rec = tunecache.load("mg_lam_max", skey)
+                if rec and "lam_max" in rec:
+                    return float(rec["lam_max"])
+            val = float(estimate_lambda_max(op, diag, shape))
+            if skey is not None:
+                tunecache.store("mg_lam_max", skey, dict(lam_max=val))
+            return val
+
+        from ..utils.phases import phase
 
         fine_shape = tuple(
             reversed([mesh.reps[d] * mesh.degree + 1 for d in range(dim)])
         )
+        phase("mg: estimating fine-level lam_max")
         levels.append(
             MGLevel(
                 operator=fine_operator,
@@ -543,9 +540,19 @@ class GeometricMultigrid:
                 mask=fine_mask,
                 grid_shape=fine_shape,
                 lam_max=fine_lam_max
-                or lam_est(fine_operator, fine_diag, (int(np.prod(fine_shape)), dim)),
+                or lam_est(
+                    fine_operator,
+                    fine_diag,
+                    (int(np.prod(fine_shape)), dim),
+                    # the masked diagonal is a content identity for the
+                    # BC-masked fine operator (element matrix diag + mask
+                    # + coefficients); one 2-4 MB device->host read buys
+                    # skipping the power-iteration compile on a hit
+                    fp="fine-" + _tc.array_fingerprint(np.asarray(fine_diag)),
+                ),
             )
         )
+        phase("mg: building geometry skeleton (level meshes/transfers)")
 
         # dt-independent geometry skeleton (level meshes, DoF spaces,
         # masks, K/unit-M element blocks, transfers, dense coarse K/M) —
@@ -557,6 +564,7 @@ class GeometricMultigrid:
             mesh, tags, coarse_size, fem_sem, lmbda, mu
         )
         for li, gm in enumerate(geoms):
+            phase(f"mg: building level {li + 1}/{len(geoms)}")
             m_c, space_c = gm.m_c, gm.space_c
             E_c = mu * gm.K_e_unit + mass_coeff * gm.M_e_unit
             mask_c = jnp.asarray(gm.mask_c, dtype=dtype)
@@ -669,6 +677,7 @@ class GeometricMultigrid:
                         f"coarse_size={coarse_size}) so the hierarchy "
                         f"coarsens further."
                     )
+                phase(f"mg: coarse dense Cholesky ({n_unknowns} unknowns)")
                 A_dense = mu * gm.K_dense + mass_coeff * gm.M_dense
                 flat_mask = np.asarray(mask_c, dtype=np.float64).reshape(-1)
                 A_dense = A_dense * flat_mask[:, None] * flat_mask[None, :]
@@ -700,12 +709,18 @@ class GeometricMultigrid:
                     mask=mask_c,
                     grid_shape=shape_c,
                     lam_max=lam_est(
-                        op_c, diag_c, (space_c.n_nodes, dim)
+                        op_c, diag_c, (space_c.n_nodes, dim),
+                        # host-side content identity: element matrix +
+                        # Dirichlet mask define the masked level operator
+                        fp="lvl-"
+                        + _tc.array_fingerprint(E_c)
+                        + _tc.array_fingerprint(gm.mask_c),
                     ),
                     coarse_solve=coarse_solve,
                 )
             )
 
+        phase(f"mg: hierarchy ready ({len(levels)} levels)")
         self.levels = levels
         self.dim = dim
 

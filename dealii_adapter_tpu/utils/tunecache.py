@@ -90,4 +90,45 @@ def store(section: str, key: str, record: dict) -> bool:
             return False
 
 
-__all__ = ["sidecar_path", "hardware_key", "load", "store"]
+def source_fingerprint(*modules) -> str:
+    """Short content hash of the given modules' source files. Used in
+    sidecar keys for cached PROBE OUTCOMES (does kernel X lower on this
+    hardware at this shape?) so editing a kernel invalidates its cached
+    probe result instead of silently trusting a stale 'ok'."""
+    import hashlib
+
+    h = hashlib.md5()
+    for m in modules:
+        f = getattr(m, "__file__", None)
+        if f and os.path.exists(f):
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        else:  # pragma: no cover - frozen/zipped import
+            h.update(repr(m).encode())
+    return h.hexdigest()[:12]
+
+
+def array_fingerprint(a) -> str:
+    """Short content hash of a host numpy array (values + shape + dtype).
+    Used to key hardware-independent derived quantities (e.g. measured
+    lam_max of an operator defined by this element matrix)."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(a)
+    h = hashlib.md5()
+    h.update(str(a.shape).encode())
+    h.update(str(a.dtype).encode())
+    h.update(a.tobytes())
+    return h.hexdigest()[:12]
+
+
+__all__ = [
+    "sidecar_path",
+    "hardware_key",
+    "load",
+    "store",
+    "source_fingerprint",
+    "array_fingerprint",
+]
