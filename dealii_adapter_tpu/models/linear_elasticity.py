@@ -229,9 +229,20 @@ class LinearElastodynamics:
             def fine_op(v):
                 return fmask * A_p(fmask * v) + (1.0 - fmask) * v
 
+            from ..utils import tunecache as _tcache
+
             self._precond = GeometricMultigrid(
                 self.mesh, tags,
                 fine_op, diag.astype(pdt), fmask,
+                # host-side content identity for the sidecar-cached fine
+                # lam_max (see nonlinear model note)
+                fine_fp=_tcache.array_fingerprint(A_e)
+                + _tcache.array_fingerprint(
+                    self.space.dirichlet_mask(
+                        tags["clamped"], tags.get("out_of_plane")
+                    )
+                )
+                + str(jnp.dtype(pdt)),
                 lmbda=c * params.lmbda, mu=c * params.mu,
                 mass_coeff=params.rho, dtype=pdt,
                 smooth_degree=params.mg_smooth_degree,

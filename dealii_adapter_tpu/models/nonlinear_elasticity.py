@@ -676,9 +676,21 @@ class NonlinearElasticity:
             def proxy_bc(v):
                 return fmask * proxy(fmask * v) + (1.0 - fmask) * v
 
+            from ..utils import tunecache as _tcache
+
             phase("nonlinear setup: building MG hierarchy")
             self._precond = GeometricMultigrid(
                 self.mesh, self.tags, proxy_bc, diag.astype(pdt), fmask,
+                # host-side content identity of the BC-masked fine proxy
+                # (element matrix + Dirichlet mask + hierarchy dtype) for
+                # the sidecar-cached lam_max — never read back from device
+                fine_fp=_tcache.array_fingerprint(Ke_precond)
+                + _tcache.array_fingerprint(
+                    space.dirichlet_mask(
+                        self.tags["clamped"], self.tags.get("out_of_plane")
+                    )
+                )
+                + str(jnp.dtype(pdt)),
                 lmbda=lam_eff, mu=params.mu,
                 mass_coeff=a1 * params.rho, dtype=pdt,
                 smooth_degree=params.mg_smooth_degree,

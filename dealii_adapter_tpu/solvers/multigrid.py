@@ -467,6 +467,7 @@ class GeometricMultigrid:
         device_mesh=None,
         shard_axis: str = "shards",
         level_backend: str = "auto",
+        fine_fp: Optional[str] = None,
     ):
         """`fine_operator` must already be BC-masked (identity on
         constrained DoFs); `mass_coeff` is the rho-scaled coefficient of the
@@ -544,11 +545,12 @@ class GeometricMultigrid:
                     fine_operator,
                     fine_diag,
                     (int(np.prod(fine_shape)), dim),
-                    # the masked diagonal is a content identity for the
-                    # BC-masked fine operator (element matrix diag + mask
-                    # + coefficients); one 2-4 MB device->host read buys
-                    # skipping the power-iteration compile on a hit
-                    fp="fine-" + _tc.array_fingerprint(np.asarray(fine_diag)),
+                    # content identity of the BC-masked fine operator,
+                    # computed HOST-SIDE by the caller (round-4 forensics:
+                    # fingerprinting the device-resident diag cost a
+                    # 2 MB device->host readback that the axon tunnel
+                    # served slower than the power iteration it replaces)
+                    fp=("fine-" + fine_fp) if fine_fp else None,
                 ),
             )
         )

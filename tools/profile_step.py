@@ -109,6 +109,67 @@ def main():
     t8 = timeit(jax.jit(tangent_apply8), u_t, v32)
     print(f"  -> marginal jvp:        {(t8 - t)/7*1e3:9.2f} ms")
 
+    # assembled-tangent path (the bench's actual CG operator: materialize
+    # per-cell tangents once per Newton iteration, then each CG matvec is
+    # extract -> batched FMA sweep -> overlap-add)
+    if getattr(model, "_use_assembled", False):
+        from dealii_adapter_tpu.ops.assembled_tangent import (
+            apply_cell_tangents,
+            apply_packed_tangents_pallas,
+            assemble_cell_tangents,
+            pack_cell_tangents,
+        )
+        from dealii_adapter_tpu.ops.structured import (
+            extract_cell_patches_T,
+            overlap_add_T,
+        )
+
+        dim = space.dim
+        deg = model.mesh.degree
+        gs, rr = model._grid_shape, model._reps_rev
+
+        def assemble(u):
+            return assemble_cell_tangents(
+                extract_cell_patches_T(u.reshape(gs + (dim,)), deg, rr),
+                model._G_t, model._w_t, model.material,
+                mass_term=model._tangent_mass,
+            )
+
+        asm_jit = jax.jit(assemble)
+        t = timeit(asm_jit, u_t)
+        print(f"assemble cell tangents:   {t*1e3:9.2f} ms  (once per Newton it)")
+
+        Kc = asm_jit(u_t)
+        if model._tangent_pallas:
+            bc = model._tangent_block_c
+            pad = model._tangent_pad
+            Kp = pack_cell_tangents(Kc)
+            if pad:
+                Kp = jnp.pad(Kp, ((0, 0), (0, 0), (0, pad)))
+            npc_l = space.tab.n_nodes
+
+            def K32(v):
+                pv = extract_cell_patches_T(v.reshape(gs + (dim,)), deg, rr)
+                c = pv.shape[-1]
+                p2 = pv.reshape(dim * npc_l, c)
+                if pad:
+                    p2 = jnp.pad(p2, ((0, 0), (0, pad)))
+                o = apply_packed_tangents_pallas(Kp, p2, bc)[:, :c]
+                return overlap_add_T(
+                    o.reshape(dim, npc_l, c), deg, rr, gs
+                ).reshape(-1, dim)
+
+        else:
+
+            def K32(v):
+                pv = extract_cell_patches_T(v.reshape(gs + (dim,)), deg, rr)
+                return overlap_add_T(
+                    apply_cell_tangents(Kc, pv), deg, rr, gs
+                ).reshape(-1, dim)
+
+        t = timeit_chained(K32, v32)
+        print(f"assembled tangent matvec: {t*1e3:9.2f} ms  (once per CG it)")
+
     # mass op f32
     if model.M_t is not None:
         t = timeit_chained(model.M_t, v32)
