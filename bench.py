@@ -105,6 +105,13 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # opt-in: smooth the assembled tangent on the MG fine level (safe
         # at bench strains; see config.mg_fine_tangent caution)
         mg_fine_tangent=os.environ.get("BENCH_MG_FINE_TANGENT", "0") == "1",
+        # per-Newton-iteration tangent assembly precision: "highest" =
+        # true-f32 MXU passes (exact), "default" = one bf16 pass (~3e-3
+        # entry error, ~3x cheaper assembly — a bounded inexact-Newton
+        # perturbation; A/B knob)
+        tangent_assembly_precision=os.environ.get(
+            "BENCH_TANGENT_PRECISION", "highest"
+        ),
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

@@ -139,16 +139,20 @@ def main():
         t = timeit(asm_jit, u_t)
         print(f"assemble cell tangents:   {t*1e3:9.2f} ms  (once per Newton it)")
 
+        # IMPORTANT: the materialized tangent must be a runtime ARGUMENT
+        # of the timed program, not a closure constant — a closed-over
+        # ~1 GB array gets serialized into the axon remote-compile request
+        # and the service rejects it (HTTP 413).
         Kc = asm_jit(u_t)
+        npc_l = space.tab.n_nodes
         if model._tangent_pallas:
             bc = model._tangent_block_c
             pad = model._tangent_pad
             Kp = pack_cell_tangents(Kc)
             if pad:
                 Kp = jnp.pad(Kp, ((0, 0), (0, 0), (0, pad)))
-            npc_l = space.tab.n_nodes
 
-            def K32(v):
+            def K32(Kp, v):
                 pv = extract_cell_patches_T(v.reshape(gs + (dim,)), deg, rr)
                 c = pv.shape[-1]
                 p2 = pv.reshape(dim * npc_l, c)
@@ -159,15 +163,42 @@ def main():
                     o.reshape(dim, npc_l, c), deg, rr, gs
                 ).reshape(-1, dim)
 
+            K_arg = Kp
         else:
 
-            def K32(v):
+            def K32(Kc, v):
                 pv = extract_cell_patches_T(v.reshape(gs + (dim,)), deg, rr)
                 return overlap_add_T(
                     apply_cell_tangents(Kc, pv), deg, rr, gs
                 ).reshape(-1, dim)
 
-        t = timeit_chained(K32, v32)
+            K_arg = Kc
+
+        def chained_K(n):
+            def run(K, v):
+                return jax.lax.scan(
+                    lambda c, _: (K32(K, c).astype(c.dtype), None),
+                    v, None, length=n,
+                )[0]
+
+            return jax.jit(run)
+
+        g2, g12 = chained_K(2), chained_K(12)
+        for g in (g2, g12):
+            out = g(K_arg, v32)
+            jax.block_until_ready(out)
+            float(jnp.vdot(out[0], out[0]))
+
+        def run_one(g):
+            t0 = time.perf_counter()
+            out = g(K_arg, v32)
+            jax.block_until_ready(out)
+            float(jnp.vdot(out[0], out[0]))
+            return time.perf_counter() - t0
+
+        t2 = min(run_one(g2) for _ in range(5))
+        t12 = min(run_one(g12) for _ in range(5))
+        t = (t12 - t2) / 10 if t12 > t2 else t12 / 12
         print(f"assembled tangent matvec: {t*1e3:9.2f} ms  (once per CG it)")
 
     # mass op f32
