@@ -112,6 +112,10 @@ def build_model(scale, dtype, degree, device_mesh=None):
         tangent_assembly_precision=os.environ.get(
             "BENCH_TANGENT_PRECISION", "highest"
         ),
+        # upper-component-block tangent storage: 2/3 assembly matmuls +
+        # 2/3 matvec HBM traffic, exactly symmetric operator (A/B knob)
+        tangent_block_symmetric=os.environ.get("BENCH_TANGENT_SYM", "0")
+        == "1",
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

@@ -211,6 +211,11 @@ class AllParameters(
     # (the assembled K stays exactly symmetric either way — see
     # ops/assembled_tangent.py)
     tangent_assembly_precision: str = "highest"
+    # store only the upper component blocks (d <= e) of the per-cell
+    # tangent and apply symmetrically: 2/3 the assembly MXU matmuls, 2/3
+    # the HBM traffic per CG matvec, exact K = K^T by construction
+    # (ops/assembled_tangent.py `assemble_cell_tangents_sym`)
+    tangent_block_symmetric: bool = False
 
     def __post_init__(self):
         self.finalize()

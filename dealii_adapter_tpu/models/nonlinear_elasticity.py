@@ -544,6 +544,8 @@ class NonlinearElasticity:
                     from ..ops.assembled_tangent import (
                         _PALLAS_OK,
                         apply_packed_tangents_pallas,
+                        apply_packed_tangents_sym_pallas,
+                        upper_blocks,
                     )
 
                     try:
@@ -553,6 +555,7 @@ class NonlinearElasticity:
                     if _PALLAS_OK and on_tpu:
                         bc = 512 if n_cells >= 512 else 128
                         edofs = npc * dim
+                        sym = bool(params.tangent_block_symmetric)
                         # sidecar-cached probe outcome (keyed by the kernel
                         # source fingerprint): skips one standalone probe
                         # compile per fresh process
@@ -562,22 +565,38 @@ class NonlinearElasticity:
                         pkey = tunecache.hardware_key(
                             "tangent_probe", edofs, bc,
                             str(jnp.dtype(self.solve_dtype)),
+                            "sym" if sym else "full",
                             tunecache.source_fingerprint(_at_mod),
                         )
-                        rec = tunecache.load("pallas_probe", pkey)
+                        rec = tunecache.load_probe("pallas_probe", pkey)
                         try:
                             if rec is None or not rec.get("ok"):
                                 if rec is not None and not rec.get("ok"):
                                     raise RuntimeError("cached probe failure")
-                                z = jnp.zeros(
-                                    (edofs, edofs, bc), dtype=self.solve_dtype
-                                )
                                 u0 = jnp.zeros(
                                     (edofs, bc), dtype=self.solve_dtype
                                 )
-                                jax.block_until_ready(
-                                    apply_packed_tangents_pallas(z, u0, bc)
-                                )
+                                if sym:
+                                    nb = len(upper_blocks(dim))
+                                    z = jnp.zeros(
+                                        (nb * npc, npc, bc),
+                                        dtype=self.solve_dtype,
+                                    )
+                                    jax.block_until_ready(
+                                        apply_packed_tangents_sym_pallas(
+                                            z, u0, dim, npc, bc
+                                        )
+                                    )
+                                else:
+                                    z = jnp.zeros(
+                                        (edofs, edofs, bc),
+                                        dtype=self.solve_dtype,
+                                    )
+                                    jax.block_until_ready(
+                                        apply_packed_tangents_pallas(
+                                            z, u0, bc
+                                        )
+                                    )
                                 tunecache.store(
                                     "pallas_probe", pkey, dict(ok=True)
                                 )
@@ -585,7 +604,16 @@ class NonlinearElasticity:
                             self._tangent_block_c = bc
                             self._tangent_pad = (-n_cells) % bc
                         except Exception as e:  # noqa: BLE001
-                            if rec is None:
+                            import warnings
+
+                            warnings.warn(
+                                "assembled-tangent Pallas matvec probe "
+                                f"failed; using the XLA FMA sweep: {e!s:.200}",
+                                stacklevel=2,
+                            )
+                            if rec is None and not tunecache.transient_failure(
+                                str(e)
+                            ):
                                 tunecache.store(
                                     "pallas_probe", pkey,
                                     dict(ok=False, error=str(e)[:200]),
@@ -1197,9 +1225,13 @@ class NonlinearElasticity:
                             # overlap-add (one linear HBM pass over K)
                             from ..ops.assembled_tangent import (
                                 apply_cell_tangents,
+                                apply_cell_tangents_sym,
                                 apply_packed_tangents_pallas,
+                                apply_packed_tangents_sym_pallas,
                                 assemble_cell_tangents,
+                                assemble_cell_tangents_sym,
                                 pack_cell_tangents,
+                                pack_cell_tangents_sym,
                             )
                             from ..ops.structured import (
                                 extract_cell_patches_T,
@@ -1208,38 +1240,84 @@ class NonlinearElasticity:
 
                             deg = self.mesh.degree
                             gs, rr = self._grid_shape, self._reps_rev
-                            Kc = assemble_cell_tangents(
-                                extract_cell_patches_T(
-                                    u_t.reshape(gs + (dim,)), deg, rr
-                                ),
-                                self._G_t, self._w_t, self.material,
-                                mass_term=self._tangent_mass,
-                                precision=params.tangent_assembly_precision,
+                            ut_p = extract_cell_patches_T(
+                                u_t.reshape(gs + (dim,)), deg, rr
                             )
-                            if self._tangent_pallas:
-                                bc = self._tangent_block_c
-                                pad = self._tangent_pad
-                                Kp = pack_cell_tangents(Kc)
-                                if pad:
-                                    Kp = jnp.pad(
-                                        Kp, ((0, 0), (0, 0), (0, pad))
-                                    )
-                                npc_l = self.space.tab.n_nodes
+                            npc_l = self.space.tab.n_nodes
+                            bc = getattr(self, "_tangent_block_c", 0)
+                            pad = getattr(self, "_tangent_pad", 0)
+                            if self._tangent_pallas and pad:
+                                # pad the INPUT patches to the kernel's
+                                # lane-block multiple so the assembled
+                                # tangent is born padded — a ~25 MB copy
+                                # here instead of a ~1 GB pad pass on the
+                                # materialized K every Newton iteration
+                                # (padded lanes see u=0 -> F=I, a benign
+                                # well-defined tangent)
+                                ut_p = jnp.pad(
+                                    ut_p, ((0, 0), (0, 0), (0, pad))
+                                )
+                            if params.tangent_block_symmetric:
+                                # upper component blocks only: 2/3 the
+                                # assembly matmuls and matvec HBM traffic
+                                Ku = assemble_cell_tangents_sym(
+                                    ut_p, self._G_t, self._w_t,
+                                    self.material,
+                                    mass_term=self._tangent_mass,
+                                    precision=(
+                                        params.tangent_assembly_precision
+                                    ),
+                                )
+                                if self._tangent_pallas:
+                                    Kp = pack_cell_tangents_sym(Ku)
 
-                                def _apply(pv):
-                                    c = pv.shape[-1]
-                                    p2 = pv.reshape(dim * npc_l, c)
-                                    if pad:
-                                        p2 = jnp.pad(p2, ((0, 0), (0, pad)))
-                                    o = apply_packed_tangents_pallas(
-                                        Kp, p2, bc
-                                    )[:, :c]
-                                    return o.reshape(dim, npc_l, c)
+                                    def _apply(pv):
+                                        c = pv.shape[-1]
+                                        p2 = pv.reshape(dim * npc_l, c)
+                                        if pad:
+                                            p2 = jnp.pad(
+                                                p2, ((0, 0), (0, pad))
+                                            )
+                                        o = apply_packed_tangents_sym_pallas(
+                                            Kp, p2, dim, npc_l, bc
+                                        )[:, :c]
+                                        return o.reshape(dim, npc_l, c)
+
+                                else:
+
+                                    def _apply(pv):
+                                        return apply_cell_tangents_sym(
+                                            Ku, pv
+                                        )
 
                             else:
+                                Kc = assemble_cell_tangents(
+                                    ut_p,
+                                    self._G_t, self._w_t, self.material,
+                                    mass_term=self._tangent_mass,
+                                    precision=(
+                                        params.tangent_assembly_precision
+                                    ),
+                                )
+                                if self._tangent_pallas:
+                                    Kp = pack_cell_tangents(Kc)
 
-                                def _apply(pv):
-                                    return apply_cell_tangents(Kc, pv)
+                                    def _apply(pv):
+                                        c = pv.shape[-1]
+                                        p2 = pv.reshape(dim * npc_l, c)
+                                        if pad:
+                                            p2 = jnp.pad(
+                                                p2, ((0, 0), (0, pad))
+                                            )
+                                        o = apply_packed_tangents_pallas(
+                                            Kp, p2, bc
+                                        )[:, :c]
+                                        return o.reshape(dim, npc_l, c)
+
+                                else:
+
+                                    def _apply(pv):
+                                        return apply_cell_tangents(Kc, pv)
 
                             def K32(v):
                                 mv = mask_t * v

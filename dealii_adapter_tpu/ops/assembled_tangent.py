@@ -245,6 +245,145 @@ def apply_cell_tangents(K, ut):
     return jnp.stack(outs, axis=0)
 
 
+def upper_blocks(dim):
+    """Index pairs (d, e), d <= e, in storage order for the
+    block-symmetric tangent layout."""
+    return [(d, e) for d in range(dim) for e in range(dim) if d <= e]
+
+
+def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
+                               precision="highest"):
+    """Block-symmetric element tangents: only the upper component blocks
+    K[d][e], d <= e, are contracted (6 of 9 MXU matmuls in 3D — the
+    tangent is the Hessian of a hyperelastic energy plus a symmetric mass
+    term, so the lower blocks are transposes of the upper ones and are
+    never materialized; `apply_cell_tangents_sym` applies them as such).
+
+    Exact symmetry: diagonal blocks are explicitly symmetrized (the only
+    place roundoff asymmetry can appear); off-diagonal blocks are used
+    once as stored and once transposed, so K = K^T holds bitwise by
+    construction — no averaging pass over the mirrored blocks needed.
+
+    Returns the list [K00, K01, K02, K11, K12, K22] (order of
+    `upper_blocks`), each (npc, npc, c). ~2/3 the HBM footprint and
+    assembly matmul flops of `assemble_cell_tangents`.
+    """
+    dim, npc, c = ut.shape
+    q = G.shape[0]
+    dt = ut.dtype
+    hi = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+    grad = [
+        [
+            jnp.dot(G[:, :, e], ut[d], precision=hi, preferred_element_type=dt)
+            for e in range(dim)
+        ]
+        for d in range(dim)
+    ]
+    d2 = dim * dim
+    A = piola_tangent_c(grad, material)  # (d2_out, d2_in, q, c)
+
+    Gw = G * w[:, None, None]
+    S = jnp.einsum("qik,qjl->ijklq", Gw, G).reshape(npc * npc, d2 * q)
+    S = S.astype(dt)
+
+    A = A.reshape(dim, dim, dim, dim, q, c)  # (d, k, e, l, q, c)
+    A = A.transpose(0, 2, 1, 3, 4, 5).reshape(dim, dim, d2 * q, c)
+    m = (
+        jnp.asarray(mass_term, dtype=dt)[:, :, None]
+        if mass_term is not None
+        else None
+    )
+    out = []
+    for d, e in upper_blocks(dim):
+        Kde = jnp.dot(
+            S, A[d, e], precision=hi, preferred_element_type=dt
+        ).reshape(npc, npc, c)
+        if d == e:
+            # restore exact within-block symmetry lost to summation-order
+            # roundoff (same role as the full path's averaging pass)
+            Kde = 0.5 * (Kde + Kde.transpose(1, 0, 2))
+            if m is not None:
+                Kde = Kde + m
+        out.append(Kde)
+    return out
+
+
+def apply_cell_tangents_sym(Ku, ut):
+    """Symmetric apply of the upper-block storage:
+    out[d] = sum_{e>=d} K[d][e] @ u[e] + sum_{e<d} K[e][d]^T @ u[e],
+    as FMA sweeps (each stored entry K[i, j, c] contributes to BOTH
+    out[d, i] and out[e, j] when d != e)."""
+    dim, npc, c = ut.shape
+    accs = [None] * dim
+
+    def add(d, term):
+        accs[d] = term if accs[d] is None else accs[d] + term
+
+    for (d, e), Kde in zip(upper_blocks(dim), Ku):
+        for j in range(npc):
+            add(d, Kde[:, j, :] * ut[e, j, :][None, :])
+        if d != e:
+            for i in range(npc):
+                add(e, Kde[i, :, :] * ut[d, i, :][None, :])
+    return jnp.stack(accs, axis=0)
+
+
+def pack_cell_tangents_sym(Ku):
+    """Upper-block list -> one (n_blocks * npc, npc, c) contiguous buffer
+    for the Pallas kernel (block b occupies rows [b*npc, (b+1)*npc))."""
+    return jnp.concatenate(Ku, axis=0)
+
+
+def _matvec_sym_kernel_body(dim, npc, k_ref, u_ref, o_ref):
+    blocks = upper_blocks(dim)
+    accs = [None] * dim
+
+    def add(d, term):
+        accs[d] = term if accs[d] is None else accs[d] + term
+
+    for b, (d, e) in enumerate(blocks):
+        for j in range(npc):
+            add(d, k_ref[b * npc:(b + 1) * npc, j, :]
+                * u_ref[e * npc + j, :][None, :])
+        if d != e:
+            for i in range(npc):
+                add(e, k_ref[b * npc + i, :, :]
+                    * u_ref[d * npc + i, :][None, :])
+    for d in range(dim):
+        o_ref[d * npc:(d + 1) * npc, :] = accs[d]
+
+
+def apply_packed_tangents_sym_pallas(Kpack, u2, dim, npc, block_c=512,
+                                     interpret=False):
+    """out (dim*npc, c) = symmetric tangent apply from upper-block packed
+    storage (`pack_cell_tangents_sym`): same grid/BlockSpec structure as
+    `apply_packed_tangents_pallas` but loads 2/3 the bytes — each stored
+    off-diagonal block is FMA'd twice (once plain, once transposed), so
+    flops match the full kernel while HBM traffic drops to the symmetric
+    half at block granularity."""
+    nb_npc, _, c = Kpack.shape
+    assert c % block_c == 0, (c, block_c)
+    grid = (c // block_c,)
+    import functools
+
+    return pl.pallas_call(
+        functools.partial(_matvec_sym_kernel_body, dim, npc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb_npc, npc, block_c), lambda i: (0, 0, i)),
+            pl.BlockSpec((dim * npc, block_c), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((dim * npc, block_c), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dim * npc, c), Kpack.dtype),
+        interpret=interpret,
+    )(Kpack, u2)
+
+
 def pack_cell_tangents(K):
     """Nested-list K -> one (edofs, edofs, c) array, edof = d * npc + i
     (component-major rows/cols). One concatenation pass at assembly time so

@@ -600,7 +600,7 @@ def make_structured_operator_auto(
             str(jnp.dtype(dtype)),
             fp,
         )
-        rec = tunecache.load("pallas_probe", skey)
+        rec = tunecache.load_probe("pallas_probe", skey)
         try:
             if space.dim == 3:
                 op = make_pallas_q1_slab_operator(space, E, dtype, slab=4)
@@ -617,7 +617,7 @@ def make_structured_operator_auto(
                 tunecache.store("pallas_probe", skey, dict(ok=True))
             return op
         except Exception as e:  # noqa: BLE001 - any lowering failure -> XLA
-            if rec is None:
+            if rec is None and not tunecache.transient_failure(str(e)):
                 tunecache.store(
                     "pallas_probe", skey, dict(ok=False, error=str(e)[:200])
                 )

@@ -90,6 +90,41 @@ def store(section: str, key: str, record: dict) -> bool:
             return False
 
 
+_TRANSIENT_MARKERS = (
+    # axon-tunnel / remote-compile infrastructure failures: retrying on a
+    # healthy tunnel succeeds, so caching these as probe verdicts would
+    # permanently disable a working kernel (observed round 4: an HTTP 500
+    # from tpu_compile_helper cached ok=False for the tangent kernel)
+    "remote_compile",
+    "HTTP 5",
+    "subprocess exit code",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection",
+    "Socket closed",
+)
+
+
+def transient_failure(error: str) -> bool:
+    """True if a probe error string looks like transient infrastructure
+    (tunnel/remote-compile) failure rather than a real lowering/VMEM
+    verdict about the kernel at this shape."""
+    return any(m in error for m in _TRANSIENT_MARKERS)
+
+
+def load_probe(section: str, key: str) -> Optional[dict]:
+    """Like `load`, but a cached FAILURE whose error looks transient is
+    treated as a miss so the probe is retried."""
+    rec = load(section, key)
+    if (
+        rec is not None
+        and not rec.get("ok")
+        and transient_failure(str(rec.get("error", "")))
+    ):
+        return None
+    return rec
+
+
 def source_fingerprint(*modules) -> str:
     """Short content hash of the given modules' source files. Used in
     sidecar keys for cached PROBE OUTCOMES (does kernel X lower on this
@@ -128,7 +163,9 @@ __all__ = [
     "sidecar_path",
     "hardware_key",
     "load",
+    "load_probe",
     "store",
+    "transient_failure",
     "source_fingerprint",
     "array_fingerprint",
 ]

@@ -111,6 +111,185 @@ def test_packed_pallas_matvec_interpret():
     )
 
 
+@pytest.mark.parametrize("dim,degree", [(2, 1), (3, 1), (3, 2)])
+def test_sym_blocks_match_full(dim, degree):
+    """Upper-block-symmetric assembly+apply is the same operator as the
+    full nine-block path (f64: roundoff-tight), with and without the
+    Newmark mass term."""
+    from dealii_adapter_tpu.ops.assembled_tangent import (
+        apply_cell_tangents_sym,
+        assemble_cell_tangents_sym,
+        upper_blocks,
+    )
+
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :])
+    w = jnp.asarray(tab.q_weights * float(np.prod(h)))
+    npc, c = tab.n_nodes, 4
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(4), (dim, npc, c), dtype=jnp.float64
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(5), (dim, npc, c), dtype=jnp.float64
+    )
+    m = jnp.asarray(
+        np.einsum("q,qi,qj->ij", np.asarray(w), tab.N, tab.N)
+    )
+
+    for mass in (None, m):
+        ref = apply_cell_tangents(
+            assemble_cell_tangents(ut, G, w, mat, mass_term=mass), vt
+        )
+        Ku = assemble_cell_tangents_sym(ut, G, w, mat, mass_term=mass)
+        assert len(Ku) == len(upper_blocks(dim))
+        got = apply_cell_tangents_sym(Ku, vt)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=0, atol=1e-12 * scale
+        )
+
+    # diagonal blocks are exactly symmetric (bitwise, not just close)
+    Ku = assemble_cell_tangents_sym(ut, G, w, mat, mass_term=m)
+    for (d, e), Kde in zip(upper_blocks(dim), Ku):
+        if d == e:
+            np.testing.assert_array_equal(
+                np.asarray(Kde), np.asarray(Kde.transpose(1, 0, 2))
+            )
+
+
+def test_packed_sym_pallas_matvec_interpret():
+    """Upper-block pack + sym Pallas kernel == the XLA sym FMA sweep."""
+    from dealii_adapter_tpu.ops.assembled_tangent import (
+        apply_cell_tangents_sym,
+        apply_packed_tangents_sym_pallas,
+        assemble_cell_tangents_sym,
+        pack_cell_tangents_sym,
+    )
+
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    dim, degree = 3, 1
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :], dtype=jnp.float32)
+    w = jnp.asarray(tab.q_weights * float(np.prod(h)), dtype=jnp.float32)
+    npc, c, bc = tab.n_nodes, 96, 32
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(6), (dim, npc, c), dtype=jnp.float32
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(7), (dim, npc, c), dtype=jnp.float32
+    )
+    Ku = assemble_cell_tangents_sym(ut, G, w, mat)
+    ref = apply_cell_tangents_sym(Ku, vt)
+    Kp = pack_cell_tangents_sym(Ku)
+    got = apply_packed_tangents_sym_pallas(
+        Kp, vt.reshape(dim * npc, c), dim, npc, block_c=bc, interpret=True
+    ).reshape(dim, npc, c)
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5 * scale
+    )
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_padded_input_assembly_matches(sym):
+    """The model's pad-before-assembly optimization (pad the ~25 MB input
+    patches instead of the ~1 GB materialized tangent): assembling padded
+    patches and slicing the kernel output back to c lanes equals the
+    unpadded reference. Padded lanes hold u=0 -> F=I, a benign tangent."""
+    from dealii_adapter_tpu.ops.assembled_tangent import (
+        apply_cell_tangents,
+        apply_cell_tangents_sym,
+        apply_packed_tangents_pallas,
+        apply_packed_tangents_sym_pallas,
+        assemble_cell_tangents,
+        assemble_cell_tangents_sym,
+        pack_cell_tangents,
+        pack_cell_tangents_sym,
+    )
+
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    dim, degree = 3, 1
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :], dtype=jnp.float32)
+    w = jnp.asarray(tab.q_weights * float(np.prod(h)), dtype=jnp.float32)
+    npc, c, bc = tab.n_nodes, 90, 32
+    pad = (-c) % bc
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(8), (dim, npc, c), dtype=jnp.float32
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(9), (dim, npc, c), dtype=jnp.float32
+    )
+    ut_pad = jnp.pad(ut, ((0, 0), (0, 0), (0, pad)))
+    v2 = jnp.pad(vt.reshape(dim * npc, c), ((0, 0), (0, pad)))
+
+    if sym:
+        ref = apply_cell_tangents_sym(
+            assemble_cell_tangents_sym(ut, G, w, mat), vt
+        )
+        Kp = pack_cell_tangents_sym(
+            assemble_cell_tangents_sym(ut_pad, G, w, mat)
+        )
+        got = apply_packed_tangents_sym_pallas(
+            Kp, v2, dim, npc, block_c=bc, interpret=True
+        )[:, :c].reshape(dim, npc, c)
+    else:
+        ref = apply_cell_tangents(
+            assemble_cell_tangents(ut, G, w, mat), vt
+        )
+        Kp = pack_cell_tangents(
+            assemble_cell_tangents(ut_pad, G, w, mat)
+        )
+        got = apply_packed_tangents_pallas(
+            Kp, v2, block_c=bc, interpret=True
+        )[:, :c].reshape(dim, npc, c)
+    assert np.isfinite(np.asarray(Kp)).all()
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5 * scale
+    )
+
+
+def test_model_step_block_symmetric_matches():
+    """tangent_block_symmetric=True reproduces the full-storage
+    trajectory on the production solver config (same Newton its, solution
+    equal to inexact-Newton noise)."""
+    results = {}
+    for sym in (False, True):
+        params = AllParameters(
+            model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,
+            poly_degree=2, delta_t=0.01, mu=0.5e6, nu=0.4, rho=1000.0,
+            tol_lin=1e-6, tol_u=1e-6, tol_f=1e-9, max_iterations_NR=10,
+            max_iterations_lin=1.0, dtype="float64",
+            solve_dtype="float32", preconditioner="MG",
+            precond_dtype="bfloat16", newton_forcing="ew",
+            newton_predictor=True, tangent_backend="assembled",
+            tangent_block_symmetric=sym,
+        )
+        mesh, tags = make_scenario_grid(
+            "PF", 3, 2, scale=1, solver="neo-Hookean"
+        )
+        model = NonlinearElasticity(params, mesh=mesh, tags=tags)
+        stress_np = np.zeros((model.space.n_nodes, 3))
+        stress_np[model.space.boundary_nodes[model.interface_id], 0] = 1000.0
+        stress = jnp.asarray(stress_np, dtype=model.dtype)
+        state = model.initial_state()
+        for _ in range(2):
+            state, info = model.step(state, stress)
+            assert bool(info.converged)
+        results[sym] = (state, int(info.iterations))
+
+    u_full = results[False][0].displacement
+    u_sym = results[True][0].displacement
+    err = float(jnp.linalg.norm(u_sym - u_full) / jnp.linalg.norm(u_full))
+    assert err < 1e-6, err
+    assert results[True][1] == results[False][1]
+
+
 def _model(tangent_backend):
     params = AllParameters(
         model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,

@@ -201,6 +201,37 @@ def main():
         t = (t12 - t2) / 10 if t12 > t2 else t12 / 12
         print(f"assembled tangent matvec: {t*1e3:9.2f} ms  (once per CG it)")
 
+        # pack + pad (runs once per Newton iteration inside the step):
+        # ~2 extra full passes over the materialized tangent
+        if model._tangent_pallas:
+
+            def pack_pad(Kc):
+                Kp = pack_cell_tangents(Kc)
+                if pad:
+                    Kp = jnp.pad(Kp, ((0, 0), (0, 0), (0, pad)))
+                return Kp
+
+            t = timeit(jax.jit(pack_pad), Kc, n=5)
+            print(f"tangent pack+pad:         {t*1e3:9.2f} ms  (once per Newton it)")
+
+    # f64 state algebra bound: the Newmark/predictor updates are ~6
+    # axpy-like passes over (n, dim) f64 vectors; this times exactly that
+    # synthetic shape to bound what the step's non-solver algebra can cost
+    def axpys(u, v):
+        for k in range(6):
+            u = u + (0.5 + k) * v
+            v = v - 0.25 * u
+        return u, v
+
+    zf = jnp.zeros((space.n_nodes, space.dim), dtype=model.dtype)
+    of = jnp.ones_like(zf)
+    t = timeit(jax.jit(axpys), zf, of)
+    print(f"12 f64 axpys @ (n,dim):   {t*1e3:9.2f} ms  (bounds Newmark algebra)")
+
+    # f64 reduction (convergence norms: a few per Newton iteration)
+    t = timeit(jax.jit(lambda v: jnp.linalg.norm(v)), of)
+    print(f"f64 norm @ (n,dim):       {t*1e3:9.2f} ms")
+
     # mass op f32
     if model.M_t is not None:
         t = timeit_chained(model.M_t, v32)
