@@ -106,9 +106,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # at bench strains; see config.mg_fine_tangent caution)
         mg_fine_tangent=os.environ.get("BENCH_MG_FINE_TANGENT", "0") == "1",
         # per-Newton-iteration tangent assembly precision: "highest" =
-        # true-f32 MXU passes (exact), "default" = one bf16 pass (~3e-3
-        # entry error, ~3x cheaper assembly — a bounded inexact-Newton
-        # perturbation; A/B knob)
+        # true-f32 MXU passes (exact); "high" = 3-pass bf16x3 (A/B knob);
+        # "default" (1 bf16 pass) measured DIVERGENT at scale 3 on v5e —
+        # kappa(K) amplifies the post-cancellation entry error
         tangent_assembly_precision=os.environ.get(
             "BENCH_TANGENT_PRECISION", "highest"
         ),

@@ -216,6 +216,12 @@ class AllParameters(
     # the HBM traffic per CG matvec, exact K = K^T by construction
     # (ops/assembled_tangent.py `assemble_cell_tangents_sym`)
     tangent_block_symmetric: bool = False
+    # NOTE: a bf16 STORAGE dtype for the materialized tangent was built
+    # and measured in round 4 and REMOVED: entry-wise rounding of K is
+    # amplified by kappa(K) and stalls/diverges Newton (2D drive: no
+    # convergence in 12 its; 3D scale-1: test failure). The op-level
+    # machinery (assemble_*'s out_dtype) remains for study; the solver
+    # always stores the tangent in solve_dtype.
 
     def __post_init__(self):
         self.finalize()
@@ -238,6 +244,13 @@ class AllParameters(
             raise ValueError(f"Unknown linear solver type '{self.type_lin}'")
         if not (-1.0 < self.nu < 0.5):
             raise ValueError(f"Poisson's ratio out of range: {self.nu}")
+        if self.tangent_assembly_precision not in (
+            "highest", "high", "default"
+        ):
+            raise ValueError(
+                "tangent_assembly_precision must be 'highest', 'high' or "
+                f"'default', got {self.tangent_assembly_precision!r}"
+            )
         return self
 
 

@@ -569,34 +569,36 @@ class NonlinearElasticity:
                             tunecache.source_fingerprint(_at_mod),
                         )
                         rec = tunecache.load_probe("pallas_probe", pkey)
+
+                        def _run_probe():
+                            u0 = jnp.zeros(
+                                (edofs, bc), dtype=self.solve_dtype
+                            )
+                            if sym:
+                                nb = len(upper_blocks(dim))
+                                z = jnp.zeros(
+                                    (nb * npc, npc, bc),
+                                    dtype=self.solve_dtype,
+                                )
+                                jax.block_until_ready(
+                                    apply_packed_tangents_sym_pallas(
+                                        z, u0, dim, npc, bc
+                                    )
+                                )
+                            else:
+                                z = jnp.zeros(
+                                    (edofs, edofs, bc),
+                                    dtype=self.solve_dtype,
+                                )
+                                jax.block_until_ready(
+                                    apply_packed_tangents_pallas(z, u0, bc)
+                                )
+
                         try:
                             if rec is None or not rec.get("ok"):
                                 if rec is not None and not rec.get("ok"):
                                     raise RuntimeError("cached probe failure")
-                                u0 = jnp.zeros(
-                                    (edofs, bc), dtype=self.solve_dtype
-                                )
-                                if sym:
-                                    nb = len(upper_blocks(dim))
-                                    z = jnp.zeros(
-                                        (nb * npc, npc, bc),
-                                        dtype=self.solve_dtype,
-                                    )
-                                    jax.block_until_ready(
-                                        apply_packed_tangents_sym_pallas(
-                                            z, u0, dim, npc, bc
-                                        )
-                                    )
-                                else:
-                                    z = jnp.zeros(
-                                        (edofs, edofs, bc),
-                                        dtype=self.solve_dtype,
-                                    )
-                                    jax.block_until_ready(
-                                        apply_packed_tangents_pallas(
-                                            z, u0, bc
-                                        )
-                                    )
+                                tunecache.probe_with_retry(_run_probe)
                                 tunecache.store(
                                     "pallas_probe", pkey, dict(ok=True)
                                 )

@@ -128,7 +128,8 @@ def piola_tangent_c(grad, material):
 
 
 def assemble_cell_tangents(ut, G, w, material, mass_term=None,
-                           method="analytic", precision="highest"):
+                           method="analytic", precision="highest",
+                           out_dtype=None):
     """Element tangent matrices from the current Newton iterate.
 
     ut: (dim, npc, c) cell-patch displacements (same layout as the force
@@ -153,11 +154,13 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
     dim, npc, c = ut.shape
     q = G.shape[0]
     dt = ut.dtype
-    hi = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    hi = {
+        "highest": jax.lax.Precision.HIGHEST,  # 6 bf16 passes: exact f32
+        "high": jax.lax.Precision.HIGH,  # 3 passes (~19-bit significand)
+        "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — measured
+        # DIVERGENT on the production solve (round 4): entry error after
+        # the S-contraction's cancellations is amplified by kappa(K)
+    }[precision]
 
     # displacement gradient per QP: grad[d][e] (q, c)
     grad = [
@@ -222,6 +225,14 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
             [K[d][e] + m if d == e else K[d][e] for e in range(dim)]
             for d in range(dim)
         ]
+    if out_dtype is not None and jnp.dtype(out_dtype) != dt:
+        # narrow STORAGE dtype (e.g. bf16): the cast happens here so XLA
+        # fuses the convert into the producing matmul epilogue — the
+        # materialized tangent is born narrow, halving both the assembly
+        # write and every CG matvec's HBM read. Rounding is symmetric
+        # (entry-wise on an exactly-symmetric K), so K = K^T still holds.
+        K = [[K[d][e].astype(out_dtype) for e in range(dim)]
+             for d in range(dim)]
     return K
 
 
@@ -252,7 +263,7 @@ def upper_blocks(dim):
 
 
 def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
-                               precision="highest"):
+                               precision="highest", out_dtype=None):
     """Block-symmetric element tangents: only the upper component blocks
     K[d][e], d <= e, are contracted (6 of 9 MXU matmuls in 3D — the
     tangent is the Hessian of a hyperelastic energy plus a symmetric mass
@@ -271,11 +282,13 @@ def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
     dim, npc, c = ut.shape
     q = G.shape[0]
     dt = ut.dtype
-    hi = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    hi = {
+        "highest": jax.lax.Precision.HIGHEST,  # 6 bf16 passes: exact f32
+        "high": jax.lax.Precision.HIGH,  # 3 passes (~19-bit significand)
+        "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — measured
+        # DIVERGENT on the production solve (round 4): entry error after
+        # the S-contraction's cancellations is amplified by kappa(K)
+    }[precision]
 
     grad = [
         [
@@ -309,6 +322,11 @@ def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
             Kde = 0.5 * (Kde + Kde.transpose(1, 0, 2))
             if m is not None:
                 Kde = Kde + m
+        if out_dtype is not None and jnp.dtype(out_dtype) != dt:
+            # narrow storage dtype — see assemble_cell_tangents; the
+            # transposed reuse of off-diagonal blocks keeps K = K^T
+            # bitwise regardless of the storage rounding
+            Kde = Kde.astype(out_dtype)
         out.append(Kde)
     return out
 
@@ -341,6 +359,7 @@ def pack_cell_tangents_sym(Ku):
 
 def _matvec_sym_kernel_body(dim, npc, k_ref, u_ref, o_ref):
     blocks = upper_blocks(dim)
+    odt = o_ref.dtype
     accs = [None] * dim
 
     def add(d, term):
@@ -348,11 +367,11 @@ def _matvec_sym_kernel_body(dim, npc, k_ref, u_ref, o_ref):
 
     for b, (d, e) in enumerate(blocks):
         for j in range(npc):
-            add(d, k_ref[b * npc:(b + 1) * npc, j, :]
+            add(d, k_ref[b * npc:(b + 1) * npc, j, :].astype(odt)
                 * u_ref[e * npc + j, :][None, :])
         if d != e:
             for i in range(npc):
-                add(e, k_ref[b * npc + i, :, :]
+                add(e, k_ref[b * npc + i, :, :].astype(odt)
                     * u_ref[d * npc + i, :][None, :])
     for d in range(dim):
         o_ref[d * npc:(d + 1) * npc, :] = accs[d]
@@ -379,7 +398,7 @@ def apply_packed_tangents_sym_pallas(Kpack, u2, dim, npc, block_c=512,
             pl.BlockSpec((dim * npc, block_c), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((dim * npc, block_c), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((dim * npc, c), Kpack.dtype),
+        out_shape=jax.ShapeDtypeStruct((dim * npc, c), u2.dtype),
         interpret=interpret,
     )(Kpack, u2)
 
@@ -403,9 +422,12 @@ except Exception:  # noqa: BLE001
 
 def _matvec_kernel(k_ref, u_ref, o_ref):
     edofs = k_ref.shape[0]
+    odt = o_ref.dtype
     acc = None
     for j in range(edofs):
-        term = k_ref[:, j, :] * u_ref[j, :][None, :]
+        # K may be stored narrower than u (bf16 storage, f32 accumulate);
+        # the VPU upconverts on load for free relative to the HBM saving
+        term = k_ref[:, j, :].astype(odt) * u_ref[j, :][None, :]
         acc = term if acc is None else acc + term
     o_ref[...] = acc
 
@@ -427,7 +449,7 @@ def apply_packed_tangents_pallas(Kfull, u2, block_c=512, interpret=False):
             pl.BlockSpec((edofs, block_c), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((edofs, block_c), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((edofs, c), Kfull.dtype),
+        out_shape=jax.ShapeDtypeStruct((edofs, c), u2.dtype),
         interpret=interpret,
     )(Kfull, u2)
 

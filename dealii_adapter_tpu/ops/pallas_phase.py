@@ -252,6 +252,7 @@ def make_q2_operator_auto(
         winner = _autotune_q2_backend(space, E, dtype, precision)
         if winner == "pallas":
             try:
+                from ..utils import tunecache
                 from ..utils.phases import phase
 
                 phase("q2 phase kernel: compiling build-time probe")
@@ -260,7 +261,9 @@ def make_q2_operator_auto(
                 # Mosaic lowering falls back here instead of failing inside
                 # the enclosing model jit
                 probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
-                jax.block_until_ready(op(probe))
+                tunecache.probe_with_retry(
+                    lambda: jax.block_until_ready(op(probe))
+                )
                 phase("q2 phase kernel: probe OK (kernel taken)")
                 return op
             except Exception as e:  # noqa: BLE001 - lowering failure -> XLA

@@ -612,8 +612,11 @@ def make_structured_operator_auto(
                 # build-time smoke test: force one compile on the real
                 # shape so an unsupported Mosaic lowering falls back here
                 # instead of failing inside the enclosing model jit
+                # (transient tunnel failures are retried in-process)
                 probe = jnp.zeros((space.n_nodes, space.dim), dtype=dtype)
-                jax.block_until_ready(op(probe))
+                tunecache.probe_with_retry(
+                    lambda: jax.block_until_ready(op(probe))
+                )
                 tunecache.store("pallas_probe", skey, dict(ok=True))
             return op
         except Exception as e:  # noqa: BLE001 - any lowering failure -> XLA

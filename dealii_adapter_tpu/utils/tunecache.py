@@ -112,6 +112,24 @@ def transient_failure(error: str) -> bool:
     return any(m in error for m in _TRANSIENT_MARKERS)
 
 
+def probe_with_retry(fn, attempts: int = 3, base_sleep_s: float = 3.0):
+    """Run a kernel probe, retrying transient infrastructure failures
+    (tunnel HTTP 5xx, UNAVAILABLE, …) in-process. One remote-compile flake
+    must not silently demote a run to a slower backend for its whole
+    lifetime (observed round 4: an HTTP 500 dropped the assembled-tangent
+    matvec to the ~6x-slower XLA sweep for an entire sweep process). Real
+    lowering/VMEM verdicts re-raise immediately."""
+    import time as _time
+
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            if attempt == attempts - 1 or not transient_failure(str(e)):
+                raise
+            _time.sleep(base_sleep_s * (attempt + 1))
+
+
 def load_probe(section: str, key: str) -> Optional[dict]:
     """Like `load`, but a cached FAILURE whose error looks transient is
     treated as a miss so the probe is retried."""

@@ -355,3 +355,68 @@ def test_auto_falls_back_when_tangent_too_big():
     model = NonlinearElasticity(params, mesh=mesh, tags=tags)
     assert not model._use_assembled
     assert tangent_bytes(model.space, jnp.float32) > 1e3
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_bf16_storage_symmetric_and_close(sym):
+    """tangent_store_dtype='bfloat16' (`out_dtype`): the stored operator
+    is exactly symmetric after rounding and entry-wise within bf16
+    tolerance of the f32-stored tangent; the apply accumulates in the
+    input dtype (f32), not bf16."""
+    from dealii_adapter_tpu.ops.assembled_tangent import (
+        apply_cell_tangents_sym,
+        assemble_cell_tangents_sym,
+        upper_blocks,
+    )
+
+    dim, degree = 3, 2
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :], dtype=jnp.float32)
+    w = jnp.asarray(
+        tab.q_weights * float(np.prod(h)), dtype=jnp.float32
+    )
+    npc, c = tab.n_nodes, 4
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(0), (dim, npc, c), dtype=jnp.float32
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(1), (dim, npc, c), dtype=jnp.float32
+    )
+
+    if sym:
+        K32 = assemble_cell_tangents_sym(ut, G, w, mat)
+        Kbf = assemble_cell_tangents_sym(
+            ut, G, w, mat, out_dtype=jnp.bfloat16
+        )
+        blocks = list(zip(upper_blocks(dim), K32, Kbf))
+        out = apply_cell_tangents_sym(Kbf, vt)
+    else:
+        K32l = assemble_cell_tangents(ut, G, w, mat)
+        Kbfl = assemble_cell_tangents(
+            ut, G, w, mat, out_dtype=jnp.bfloat16
+        )
+        blocks = [
+            ((d, e), K32l[d][e], Kbfl[d][e])
+            for d in range(dim)
+            for e in range(dim)
+        ]
+        out = apply_cell_tangents(Kbfl, vt)
+        # full storage: rounding an exactly-symmetric K entry-wise keeps
+        # K[d][e] = K[e][d]^T bitwise
+        for d in range(dim):
+            for e in range(dim):
+                np.testing.assert_array_equal(
+                    np.asarray(Kbfl[d][e]),
+                    np.asarray(Kbfl[e][d].transpose(1, 0, 2)),
+                )
+
+    assert out.dtype == vt.dtype  # f32 accumulate, not bf16
+    for (_, _), k32, kbf in blocks:
+        assert kbf.dtype == jnp.bfloat16
+        a32 = np.asarray(k32, dtype=np.float64)
+        abf = np.asarray(kbf, dtype=np.float64)
+        scale = np.max(np.abs(a32))
+        # bf16 has 8 significand bits -> entry error <= 2^-8 * |entry|
+        np.testing.assert_allclose(abf, a32, rtol=0, atol=scale * 2**-8)

@@ -162,6 +162,32 @@ VARIANTS.update(
     # (default) vs the constant small-strain proxy
     prodnoft=dict(_PROD, newton_residual="mixed", mg_fine_tangent=False),
     prodft=dict(_PROD, newton_residual="mixed", mg_fine_tangent=True),
+    # round-4 tangent A/B matrix on the bench config (mixed residual,
+    # fine degree 1): bf16 single-pass assembly and/or block-symmetric
+    # storage — the two staged levers against the 215 ms/step assembly +
+    # 113 ms/step matvec blocks in the round-4 profile
+    prodpd=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_assembly_precision="default",
+    ),
+    prodsym=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_block_symmetric=True,
+    ),
+    prodsympd=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_block_symmetric=True, tangent_assembly_precision="default",
+    ),
+    # "high" = 3-pass bf16x3 assembly (~19-bit significand): the halfway
+    # point after "default" (1 pass) measured divergent on hardware
+    prodhigh=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_assembly_precision="high",
+    ),
+    prodsymhigh=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_block_symmetric=True, tangent_assembly_precision="high",
+    ),
     # f64-handback window of the mixed residual schedule
     prodw100=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=100.0),
     prodw300=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=300.0),
