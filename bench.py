@@ -116,6 +116,9 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # 2/3 matvec HBM traffic, exactly symmetric operator (A/B knob)
         tangent_block_symmetric=os.environ.get("BENCH_TANGENT_SYM", "0")
         == "1",
+        # Pallas matvec kernel choice: auto (packed-first) | blocks |
+        # packed | xla (A/B knob for the pack-free block-ref kernel)
+        tangent_matvec_kernel=os.environ.get("BENCH_TANGENT_KERNEL", "auto"),
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"

@@ -216,6 +216,15 @@ class AllParameters(
     # the HBM traffic per CG matvec, exact K = K^T by construction
     # (ops/assembled_tangent.py `assemble_cell_tangents_sym`)
     tangent_block_symmetric: bool = False
+    # Pallas matvec kernel for the materialized tangent: "auto" probes the
+    # hardware-proven packed kernel first (one contiguous buffer, pack
+    # concatenation once per Newton it); "blocks" prefers the pack-free
+    # block-ref kernel (no pack pass, no duplicate packed buffer) and
+    # falls back to packed; "packed" / "xla" force those paths. "blocks"
+    # becomes the auto-default once a hardware session validates its
+    # Mosaic compile + timing (blocked 2026-08-19: the remote compile
+    # helper 500s on every fresh Pallas compile).
+    tangent_matvec_kernel: str = "auto"
     # NOTE: a bf16 STORAGE dtype for the materialized tangent was built
     # and measured in round 4 and REMOVED: entry-wise rounding of K is
     # amplified by kappa(K) and stalls/diverges Newton (2D drive: no
@@ -244,6 +253,13 @@ class AllParameters(
             raise ValueError(f"Unknown linear solver type '{self.type_lin}'")
         if not (-1.0 < self.nu < 0.5):
             raise ValueError(f"Poisson's ratio out of range: {self.nu}")
+        if self.tangent_matvec_kernel not in (
+            "auto", "blocks", "packed", "xla"
+        ):
+            raise ValueError(
+                "tangent_matvec_kernel must be 'auto', 'blocks', 'packed' "
+                f"or 'xla', got {self.tangent_matvec_kernel!r}"
+            )
         if self.tangent_assembly_precision not in (
             "highest", "high", "default"
         ):

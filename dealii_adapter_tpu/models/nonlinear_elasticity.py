@@ -503,6 +503,7 @@ class NonlinearElasticity:
         self._use_assembled = False
         self._tangent_mass = None
         self._tangent_pallas = False
+        self._tangent_kernel = None
         if (
             params.tangent_backend in ("auto", "assembled")
             and params.type_lin == "CG"
@@ -558,69 +559,106 @@ class NonlinearElasticity:
                         sym = bool(params.tangent_block_symmetric)
                         # sidecar-cached probe outcome (keyed by the kernel
                         # source fingerprint): skips one standalone probe
-                        # compile per fresh process
+                        # compile per fresh process. Ladder: the pack-free
+                        # block-ref kernel first (no once-per-Newton pack
+                        # pass over the ~1 GB tangent, no duplicate packed
+                        # buffer), then the packed kernel, then XLA.
                         from ..ops import assembled_tangent as _at_mod
                         from ..utils import tunecache
 
-                        pkey = tunecache.hardware_key(
-                            "tangent_probe", edofs, bc,
-                            str(jnp.dtype(self.solve_dtype)),
-                            "sym" if sym else "full",
-                            tunecache.source_fingerprint(_at_mod),
-                        )
-                        rec = tunecache.load_probe("pallas_probe", pkey)
+                        fp = tunecache.source_fingerprint(_at_mod)
+                        sdt_s = str(jnp.dtype(self.solve_dtype))
+                        lay = "sym" if sym else "full"
 
-                        def _run_probe():
+                        def _probe_kernel(kind):
                             u0 = jnp.zeros(
                                 (edofs, bc), dtype=self.solve_dtype
                             )
-                            if sym:
+                            zb = jnp.zeros(
+                                (npc, npc, bc), dtype=self.solve_dtype
+                            )
+                            if kind == "blocks":
+                                if sym:
+                                    nb = len(upper_blocks(dim))
+                                    out = _at_mod.apply_sym_block_tangents_pallas(
+                                        [zb] * nb, u0, dim, npc, bc
+                                    )
+                                else:
+                                    out = _at_mod.apply_block_tangents_pallas(
+                                        [[zb] * dim for _ in range(dim)],
+                                        u0, bc,
+                                    )
+                            elif sym:
                                 nb = len(upper_blocks(dim))
                                 z = jnp.zeros(
                                     (nb * npc, npc, bc),
                                     dtype=self.solve_dtype,
                                 )
-                                jax.block_until_ready(
-                                    apply_packed_tangents_sym_pallas(
-                                        z, u0, dim, npc, bc
-                                    )
+                                out = apply_packed_tangents_sym_pallas(
+                                    z, u0, dim, npc, bc
                                 )
                             else:
                                 z = jnp.zeros(
                                     (edofs, edofs, bc),
                                     dtype=self.solve_dtype,
                                 )
-                                jax.block_until_ready(
-                                    apply_packed_tangents_pallas(z, u0, bc)
+                                out = apply_packed_tangents_pallas(
+                                    z, u0, bc
                                 )
+                            jax.block_until_ready(out)
 
-                        try:
-                            if rec is None or not rec.get("ok"):
-                                if rec is not None and not rec.get("ok"):
-                                    raise RuntimeError("cached probe failure")
-                                tunecache.probe_with_retry(_run_probe)
-                                tunecache.store(
-                                    "pallas_probe", pkey, dict(ok=True)
+                        self._tangent_kernel = None
+                        kinds = {
+                            "auto": ("packed", "blocks"),
+                            "blocks": ("blocks", "packed"),
+                            "packed": ("packed",),
+                            "xla": (),
+                        }[params.tangent_matvec_kernel]
+                        for kind in kinds:
+                            pkey = tunecache.hardware_key(
+                                "tangent_probe", kind, edofs, bc,
+                                sdt_s, lay, fp,
+                            )
+                            rec = tunecache.load_probe("pallas_probe", pkey)
+                            try:
+                                if rec is None or not rec.get("ok"):
+                                    if rec is not None and not rec.get("ok"):
+                                        raise RuntimeError(
+                                            "cached probe failure"
+                                        )
+                                    tunecache.probe_with_retry(
+                                        lambda: _probe_kernel(kind)
+                                    )
+                                    tunecache.store(
+                                        "pallas_probe", pkey, dict(ok=True)
+                                    )
+                                self._tangent_kernel = kind
+                                break
+                            except Exception as e:  # noqa: BLE001
+                                import warnings
+
+                                warnings.warn(
+                                    f"assembled-tangent Pallas {kind} "
+                                    "matvec probe failed; trying the next "
+                                    f"backend: {e!s:.200}",
+                                    stacklevel=2,
                                 )
-                            self._tangent_pallas = True
+                                if (
+                                    rec is None
+                                    and not tunecache.transient_failure(
+                                        str(e)
+                                    )
+                                ):
+                                    tunecache.store(
+                                        "pallas_probe", pkey,
+                                        dict(ok=False, error=str(e)[:200]),
+                                    )
+                        self._tangent_pallas = (
+                            self._tangent_kernel is not None
+                        )
+                        if self._tangent_pallas:
                             self._tangent_block_c = bc
                             self._tangent_pad = (-n_cells) % bc
-                        except Exception as e:  # noqa: BLE001
-                            import warnings
-
-                            warnings.warn(
-                                "assembled-tangent Pallas matvec probe "
-                                f"failed; using the XLA FMA sweep: {e!s:.200}",
-                                stacklevel=2,
-                            )
-                            if rec is None and not tunecache.transient_failure(
-                                str(e)
-                            ):
-                                tunecache.store(
-                                    "pallas_probe", pkey,
-                                    dict(ok=False, error=str(e)[:200]),
-                                )
-                            self._tangent_pallas = False
         elif params.tangent_backend == "assembled":
             raise ValueError(
                 "tangent_backend='assembled' requires type_lin='CG', "
@@ -1227,9 +1265,11 @@ class NonlinearElasticity:
                             # overlap-add (one linear HBM pass over K)
                             from ..ops.assembled_tangent import (
                                 apply_cell_tangents,
+                                apply_block_tangents_pallas,
                                 apply_cell_tangents_sym,
                                 apply_packed_tangents_pallas,
                                 apply_packed_tangents_sym_pallas,
+                                apply_sym_block_tangents_pallas,
                                 assemble_cell_tangents,
                                 assemble_cell_tangents_sym,
                                 pack_cell_tangents,
@@ -1270,7 +1310,21 @@ class NonlinearElasticity:
                                         params.tangent_assembly_precision
                                     ),
                                 )
-                                if self._tangent_pallas:
+                                if self._tangent_kernel == "blocks":
+
+                                    def _apply(pv):
+                                        c = pv.shape[-1]
+                                        p2 = pv.reshape(dim * npc_l, c)
+                                        if pad:
+                                            p2 = jnp.pad(
+                                                p2, ((0, 0), (0, pad))
+                                            )
+                                        o = apply_sym_block_tangents_pallas(
+                                            Ku, p2, dim, npc_l, bc
+                                        )[:, :c]
+                                        return o.reshape(dim, npc_l, c)
+
+                                elif self._tangent_pallas:
                                     Kp = pack_cell_tangents_sym(Ku)
 
                                     def _apply(pv):
@@ -1301,7 +1355,21 @@ class NonlinearElasticity:
                                         params.tangent_assembly_precision
                                     ),
                                 )
-                                if self._tangent_pallas:
+                                if self._tangent_kernel == "blocks":
+
+                                    def _apply(pv):
+                                        c = pv.shape[-1]
+                                        p2 = pv.reshape(dim * npc_l, c)
+                                        if pad:
+                                            p2 = jnp.pad(
+                                                p2, ((0, 0), (0, pad))
+                                            )
+                                        o = apply_block_tangents_pallas(
+                                            Kc, p2, bc
+                                        )[:, :c]
+                                        return o.reshape(dim, npc_l, c)
+
+                                elif self._tangent_pallas:
                                     Kp = pack_cell_tangents(Kc)
 
                                     def _apply(pv):

@@ -454,6 +454,99 @@ def apply_packed_tangents_pallas(Kfull, u2, block_c=512, interpret=False):
     )(Kfull, u2)
 
 
+def _matvec_blocks_kernel_body(dim, npc, *refs):
+    """FMA sweep reading the dim^2 component blocks as SEPARATE refs (in
+    (d, e) row-major order), so no packed copy of the ~1 GB tangent ever
+    exists: assembly's nested-list output feeds the kernel directly."""
+    k_refs, u_ref, o_ref = refs[:-2], refs[-2], refs[-1]
+    odt = o_ref.dtype
+    accs = [None] * dim
+    for d in range(dim):
+        for e in range(dim):
+            k = k_refs[d * dim + e]
+            for j in range(npc):
+                term = k[:, j, :].astype(odt) * u_ref[e * npc + j, :][None, :]
+                accs[d] = term if accs[d] is None else accs[d] + term
+    for d in range(dim):
+        o_ref[d * npc:(d + 1) * npc, :] = accs[d]
+
+
+def apply_block_tangents_pallas(K, u2, block_c=512, interpret=False):
+    """out (dim*npc, c) = K u from the nested-list block layout — the
+    pack-free variant of `apply_packed_tangents_pallas`: same grid/VMEM
+    structure and FLOPs, but each (npc, npc, c) block of
+    `assemble_cell_tangents` is its own input ref, eliminating the
+    once-per-Newton-iteration pack concatenation (2 full HBM passes over
+    the materialized tangent) and the packed buffer's duplicate
+    footprint."""
+    dim = len(K)
+    npc, _, c = K[0][0].shape
+    assert c % block_c == 0, (c, block_c)
+    grid = (c // block_c,)
+    import functools
+
+    flat = [K[d][e] for d in range(dim) for e in range(dim)]
+    return pl.pallas_call(
+        functools.partial(_matvec_blocks_kernel_body, dim, npc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((npc, npc, block_c), lambda i: (0, 0, i))
+            for _ in flat
+        ]
+        + [pl.BlockSpec((dim * npc, block_c), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((dim * npc, block_c), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dim * npc, c), u2.dtype),
+        interpret=interpret,
+    )(*flat, u2)
+
+
+def _matvec_sym_blocks_kernel_body(dim, npc, *refs):
+    """Symmetric pack-free sweep: upper blocks (d <= e) as separate refs;
+    each off-diagonal block is FMA'd plain and transposed (K = K^T holds
+    bitwise, as in `_matvec_sym_kernel_body`)."""
+    k_refs, u_ref, o_ref = refs[:-2], refs[-2], refs[-1]
+    odt = o_ref.dtype
+    blocks = upper_blocks(dim)
+    accs = [None] * dim
+
+    def add(d, term):
+        accs[d] = term if accs[d] is None else accs[d] + term
+
+    for b, (d, e) in enumerate(blocks):
+        k = k_refs[b]
+        for j in range(npc):
+            add(d, k[:, j, :].astype(odt) * u_ref[e * npc + j, :][None, :])
+        if d != e:
+            for i in range(npc):
+                add(e, k[i, :, :].astype(odt) * u_ref[d * npc + i, :][None, :])
+    for d in range(dim):
+        o_ref[d * npc:(d + 1) * npc, :] = accs[d]
+
+
+def apply_sym_block_tangents_pallas(Ku, u2, dim, npc, block_c=512,
+                                    interpret=False):
+    """Pack-free symmetric apply from `assemble_cell_tangents_sym`'s
+    upper-block list (2/3 the HBM bytes of the full layout, no pack
+    pass)."""
+    c = Ku[0].shape[-1]
+    assert c % block_c == 0, (c, block_c)
+    grid = (c // block_c,)
+    import functools
+
+    return pl.pallas_call(
+        functools.partial(_matvec_sym_blocks_kernel_body, dim, npc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((npc, npc, block_c), lambda i: (0, 0, i))
+            for _ in Ku
+        ]
+        + [pl.BlockSpec((dim * npc, block_c), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((dim * npc, block_c), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dim * npc, c), u2.dtype),
+        interpret=interpret,
+    )(*Ku, u2)
+
+
 def tangent_bytes(space, dtype) -> int:
     """HBM footprint of the materialized tangent for a DofSpace."""
     npc = space.tab.n_nodes

@@ -420,3 +420,48 @@ def test_bf16_storage_symmetric_and_close(sym):
         scale = np.max(np.abs(a32))
         # bf16 has 8 significand bits -> entry error <= 2^-8 * |entry|
         np.testing.assert_allclose(abf, a32, rtol=0, atol=scale * 2**-8)
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_block_refs_pallas_matvec_interpret(sym):
+    """The pack-free block-ref Pallas kernels reproduce the XLA block
+    applies exactly (interpret mode): same FMA order per block, no packed
+    copy of the tangent."""
+    from dealii_adapter_tpu.ops.assembled_tangent import (
+        apply_block_tangents_pallas,
+        apply_cell_tangents_sym,
+        apply_sym_block_tangents_pallas,
+        assemble_cell_tangents_sym,
+    )
+
+    dim, degree = 3, 2
+    mat = NeoHookean(mu=0.5e6, nu=0.4, rho=1000.0)
+    tab = tabulate(dim, degree, degree + 2)
+    h = np.full(dim, 0.1)
+    G = jnp.asarray(tab.dN / h[None, None, :], dtype=jnp.float32)
+    w = jnp.asarray(tab.q_weights * float(np.prod(h)), dtype=jnp.float32)
+    npc, c, bc = tab.n_nodes, 8, 4
+    ut = 0.004 * jax.random.normal(
+        jax.random.PRNGKey(0), (dim, npc, c), dtype=jnp.float32
+    )
+    vt = jax.random.normal(
+        jax.random.PRNGKey(1), (dim, npc, c), dtype=jnp.float32
+    )
+    v2 = vt.reshape(dim * npc, c)
+
+    if sym:
+        Ku = assemble_cell_tangents_sym(ut, G, w, mat)
+        ref = apply_cell_tangents_sym(Ku, vt)
+        got = apply_sym_block_tangents_pallas(
+            Ku, v2, dim, npc, block_c=bc, interpret=True
+        ).reshape(dim, npc, c)
+    else:
+        K = assemble_cell_tangents(ut, G, w, mat)
+        ref = apply_cell_tangents(K, vt)
+        got = apply_block_tangents_pallas(
+            K, v2, block_c=bc, interpret=True
+        ).reshape(dim, npc, c)
+    scale = float(np.max(np.abs(np.asarray(ref))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5 * scale
+    )

@@ -188,6 +188,15 @@ VARIANTS.update(
         _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
         tangent_block_symmetric=True, tangent_assembly_precision="high",
     ),
+    # pack-free block-ref Pallas matvec (vs the packed default)
+    prodblocks=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_matvec_kernel="blocks",
+    ),
+    prodsymblocks=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        tangent_block_symmetric=True, tangent_matvec_kernel="blocks",
+    ),
     # f64-handback window of the mixed residual schedule
     prodw100=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=100.0),
     prodw300=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=300.0),
