@@ -180,12 +180,16 @@ def run_steps(model, n_steps, magnitude=1000.0):
 
     state = model.initial_state()
     # warmup: compile + first step (excluded from timing)
+    from dealii_adapter_tpu.utils.phases import phase
+
+    phase("bench warmup (step compile)")
     _log("warmup step (compiles the full step program on a cache miss)...")
     state, info = model.step(state, stress)
     jax.block_until_ready(state)
     float(jnp.vdot(state.displacement, state.displacement))
     _log("warmup done; timing begins")
 
+    phase("bench timed steps")
     diags = []
     step_times = []
     checksums = []
@@ -450,6 +454,62 @@ def _enable_compile_cache():
         jax.config.update("jax_platforms", plat)
 
 
+_WATCHDOG_OFF = False
+
+
+def _start_phase_watchdog():
+    """Heartbeat + deadline thread for the wedged-tunnel failure mode.
+
+    Round-4 hardware sessions saw the remote compile service behind the
+    axon tunnel WEDGE: a compile RPC that neither fails nor returns (the
+    bench child sat 15+ min inside one setup phase at ~0% CPU). A hang
+    is invisible to `_main_with_retry` (which classifies crashes), so the
+    driver's outer timeout would kill the run at rc=124. This thread
+    (a) prints a heartbeat naming the current phase every 60 s — a killed
+    run's tail then shows exactly where the time went — and (b) aborts
+    with the retryable exit code 75 when a single phase exceeds its
+    deadline: setup phases are bounded by BENCH_PHASE_DEADLINE (default
+    480 s; every measured legitimate setup phase is <4 min even cold),
+    the one legitimately long phase — the step-program warmup compile,
+    measured up to ~874 s cold — by BENCH_WARMUP_DEADLINE (default
+    1500 s). The parent then re-execs a fresh child, which reuses
+    whatever `.jax_cache`/sidecar progress the first attempt banked.
+    Stands down once the metric JSON is printed (a finished measurement
+    must never be erased by a wedged guard)."""
+    import threading
+
+    # resolve the import on the MAIN thread: an import inside the daemon
+    # thread races the main thread's own package imports (observed: a
+    # spurious partially-initialized-module ImportError in model build)
+    from dealii_adapter_tpu.utils.phases import last_phase
+
+    deadline = float(os.environ.get("BENCH_PHASE_DEADLINE", "480"))
+    warm_deadline = float(os.environ.get("BENCH_WARMUP_DEADLINE", "1500"))
+
+    def run():
+        beat = 0.0
+        while not _WATCHDOG_OFF:
+            time.sleep(15)
+            msg, elapsed = last_phase()
+            lim = warm_deadline if "warmup" in msg else deadline
+            beat += 15.0
+            if beat >= 60.0:
+                beat = 0.0
+                _log(
+                    f"heartbeat: in phase {msg!r} for {elapsed:.0f}s "
+                    f"(deadline {lim:.0f}s)"
+                )
+            if elapsed > lim and not _WATCHDOG_OFF:
+                _log(
+                    f"phase {msg!r} exceeded its {lim:.0f}s deadline — "
+                    "remote compile service presumed wedged; aborting "
+                    "with retryable rc=75"
+                )
+                os._exit(75)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def main():
     # attribute model-setup time phase-by-phase on stderr (round-4: the
     # warm-cache bench still spent most of its wall inside a single silent
@@ -507,6 +567,10 @@ def main():
         print(json.dumps(rec), file=sys.stderr)
         return
 
+    # heartbeat/deadline watchdog only for timed (driver-facing) runs:
+    # baseline generation above runs local-CPU compiles with no tunnel
+    # and no window, where a deadline would only false-trip
+    _start_phase_watchdog()
     _log("building model (mesh/tabulation/MG setup)...")
     model = build(scale, dtype, degree)
     mdof = model.space.n_dofs / 1e6
@@ -563,6 +627,8 @@ def main():
         )
     )
     sys.stdout.flush()
+    global _WATCHDOG_OFF
+    _WATCHDOG_OFF = True
     # the guard runs AFTER the metric is on stdout: a timeout during its
     # (possibly cold) chained compiles must not erase the measurement.
     # An implausible measurement still fails the run: exit(3) turns the
@@ -634,7 +700,10 @@ def _main_with_retry():
         )
         if last == 0:
             return
-        if not any(sig in blob for sig in transient):
+        # rc=75: the child's phase watchdog detected a wedged remote
+        # compile RPC and aborted — always worth one fresh attempt (the
+        # retry reuses the .jax_cache/sidecar progress already banked)
+        if last != 75 and not any(sig in blob for sig in transient):
             break  # deterministic failure (OOM, divergence, bad config)
     sys.exit(last)
 

@@ -16,8 +16,17 @@ import time
 
 _T0 = time.perf_counter()
 
+# Last phase transition, readable by a watchdog (bench.py): the round-4
+# hardware sessions hit a WEDGED remote-compile tunnel — a compile RPC
+# that neither fails nor returns, freezing setup inside one phase for
+# 15+ minutes. The phase record lets a heartbeat thread tell "long but
+# legitimate compile" from "no phase transition past its deadline".
+_LAST = {"msg": "(before first phase)", "t": _T0}
+
 
 def phase(msg: str) -> None:
+    _LAST["msg"] = msg
+    _LAST["t"] = time.perf_counter()
     if not os.environ.get("DAT_PHASE_LOG"):
         return
     print(
@@ -25,3 +34,8 @@ def phase(msg: str) -> None:
         file=sys.stderr,
     )
     sys.stderr.flush()
+
+
+def last_phase():
+    """(current phase message, seconds spent in it so far)."""
+    return _LAST["msg"], time.perf_counter() - _LAST["t"]

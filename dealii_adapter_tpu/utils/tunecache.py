@@ -112,6 +112,62 @@ def transient_failure(error: str) -> bool:
     return any(m in error for m in _TRANSIENT_MARKERS)
 
 
+_MOSAIC_CANARY: dict = {}
+
+_CANARY_SRC = """
+import os, sys
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "false")
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+def k(x_ref, o_ref):
+    o_ref[...] = x_ref[...] * {salt}
+
+x = jnp.ones((8, 128), jnp.float32)
+y = pl.pallas_call(
+    k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+)(x)
+jax.block_until_ready(y)
+sys.exit(0 if abs(float(y[0, 0]) - {salt}) < 1e-6 else 1)
+"""
+
+
+def mosaic_canary(timeout_s: float = 150.0) -> bool:
+    """True if this host can compile AND run a trivial Mosaic (Pallas)
+    kernel within `timeout_s` right now.
+
+    Probed in a SUBPROCESS with a hard timeout because the failure mode
+    this guards against is a remote compile service that neither fails
+    nor returns (observed round 4 on the axon tunnel: fresh Mosaic
+    compile RPCs hung indefinitely while XLA compiles succeeded) — an
+    in-process probe would freeze the whole run inside a jit compile
+    that Python cannot interrupt. The compilation cache is disabled in
+    the child and the kernel is salted with the current time so a cached
+    binary can never mask a wedged compiler. Result is cached for the
+    process lifetime; callers that get False must skip every Pallas
+    kernel (including sidecar-cached 'ok' ones — their STEP program
+    would hang at its own compile) and take the XLA fallbacks."""
+    if "ok" in _MOSAIC_CANARY:
+        return _MOSAIC_CANARY["ok"]
+    import subprocess
+    import sys
+    import time as _time
+
+    src = _CANARY_SRC.format(salt=round(2.0 + (_time.time() % 997) / 1e4, 8))
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", src],
+            timeout=timeout_s,
+            capture_output=True,
+        ).returncode
+        ok = rc == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    _MOSAIC_CANARY["ok"] = ok
+    return ok
+
+
 def probe_with_retry(fn, attempts: int = 3, base_sleep_s: float = 3.0):
     """Run a kernel probe, retrying transient infrastructure failures
     (tunnel HTTP 5xx, UNAVAILABLE, …) in-process. One remote-compile flake
