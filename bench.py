@@ -695,6 +695,11 @@ def _main_with_retry():
         if attempt:
             print(f"bench: retry {attempt} after device fault", file=sys.stderr)
             time.sleep(20)
+        # the child can see which attempt it is: the LAST attempt skips
+        # optional setup measurements (e.g. the fine-proxy autotune takes
+        # its measured prior) rather than risk dying in them again
+        env["BENCH_ATTEMPT"] = str(attempt)
+        env["BENCH_LAST_ATTEMPT"] = "1" if attempt == 2 else "0"
         last, blob = _run_streaming(
             [sys.executable, os.path.abspath(__file__)], env
         )

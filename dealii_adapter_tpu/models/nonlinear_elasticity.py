@@ -614,6 +614,19 @@ class NonlinearElasticity:
                             "packed": ("packed",),
                             "xla": (),
                         }[params.tangent_matvec_kernel]
+                        import os as _os
+
+                        if _os.environ.get("BENCH_LAST_ATTEMPT") == "1":
+                            # bench final retry: earlier attempts died in
+                            # setup (wedged remote compile RPCs) — don't
+                            # risk optional kernel probes again; XLA
+                            # matvec is a safe, measured fallback
+                            kinds = ()
+                        elif kinds and not tunecache.pallas_healthy():
+                            # Mosaic compiles are down for this process: a
+                            # cached ok=True probe record must not put an
+                            # uncompilable kernel inside the step program
+                            kinds = ()
                         for kind in kinds:
                             pkey = tunecache.hardware_key(
                                 "tangent_probe", kind, edofs, bc,
@@ -626,8 +639,28 @@ class NonlinearElasticity:
                                         raise RuntimeError(
                                             "cached probe failure"
                                         )
+                                    infl = tunecache.load(
+                                        "pallas_probe_inflight", pkey
+                                    )
+                                    if infl and not infl.get("done"):
+                                        # a previous process died INSIDE
+                                        # this probe (wedged remote
+                                        # compile RPC): skip the kind
+                                        # rather than wedge again
+                                        raise RuntimeError(
+                                            "previous attempt wedged in "
+                                            "this probe"
+                                        )
+                                    tunecache.store(
+                                        "pallas_probe_inflight", pkey,
+                                        dict(done=False),
+                                    )
                                     tunecache.probe_with_retry(
                                         lambda: _probe_kernel(kind)
+                                    )
+                                    tunecache.store(
+                                        "pallas_probe_inflight", pkey,
+                                        dict(done=True),
                                     )
                                     tunecache.store(
                                         "pallas_probe", pkey, dict(ok=True)
@@ -637,6 +670,13 @@ class NonlinearElasticity:
                             except Exception as e:  # noqa: BLE001
                                 import warnings
 
+                                # the probe RETURNED (failed, not wedged):
+                                # clear the in-flight breadcrumb so later
+                                # processes may retry a transient failure
+                                tunecache.store(
+                                    "pallas_probe_inflight", pkey,
+                                    dict(done=True),
+                                )
                                 warnings.warn(
                                     f"assembled-tangent Pallas {kind} "
                                     "matvec probe failed; trying the next "

@@ -58,7 +58,7 @@ def piola_flat(gflat, material):
     return jnp.stack([P[d][k] for d in range(dim) for k in range(dim)])
 
 
-def piola_tangent_c(grad, material):
+def piola_tangent_blocks(grad, material):
     """Closed-form pointwise tangent A[(d,k),(e,l)] = dP_dk/dF_el for the
     compressible Neo-Hookean model (`compressible_neo_hook_material.h`
     physics), as one fused elementwise pass.
@@ -80,7 +80,12 @@ def piola_tangent_c(grad, material):
     tests/test_assembled_tangent.py.
 
     grad: dim x dim nested list of (q, c) displacement-gradient components.
-    Returns the (dim^2, dim^2, q, c) stacked tangent.
+    Returns the {(m, n): (q, c)} component dict (m = d*dim+k, n = e*dim+l;
+    mirrored entries share the same array object), so consumers can stack
+    the components directly in whatever layout their contraction needs —
+    `assemble_cell_tangents` builds each (d, e) block's (d2*q, c) operand
+    without ever materializing + transposing the full (d2, d2, q, c)
+    tensor (an ~800 MB layout pass at 1M DoF).
     """
     dim = len(grad)
     F = [
@@ -117,7 +122,16 @@ def piola_tangent_c(grad, material):
                     if d == e and k == l_:
                         a = a + c2s
                     comps[(d * dim + k, e * dim + l_)] = a
+    return comps
+
+
+def piola_tangent_c(grad, material):
+    """Stacked (dim^2, dim^2, q, c) form of `piola_tangent_blocks` (the
+    layout the autodiff cross-validation and the phase-split kernels
+    consume)."""
+    dim = len(grad)
     d2 = dim * dim
+    comps = piola_tangent_blocks(grad, material)
     return jnp.stack(
         [
             jnp.stack([comps[(m, n)] for n in range(d2)], axis=0)
@@ -171,8 +185,23 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
         for d in range(dim)
     ]
     d2 = dim * dim
+
+    def block_operand(comps, d, e):
+        # the (d, e) block's contraction operand, stacked DIRECTLY in the
+        # (k, l, q) order S expects: no full (d2, d2, q, c) materialization
+        # and no ~800 MB transpose pass (round-4 profile: the layout move,
+        # not the matmuls, dominated the 43 ms/eval assembly cost)
+        return jnp.stack(
+            [
+                comps[(d * dim + k, e * dim + l_)]
+                for k in range(dim)
+                for l_ in range(dim)
+            ],
+            axis=0,
+        ).reshape(d2 * q, c)
+
     if method == "analytic":
-        A = piola_tangent_c(grad, material)  # (d2_out, d2_in, q, c)
+        comps = piola_tangent_blocks(grad, material)
     else:
         # pointwise tangent A[(d,k), (e,l), q, c] = dP_dk/dF_el by pushing
         # the dim^2 canonical directions through the linearized map
@@ -188,43 +217,43 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
             ],
             axis=1,
         )  # (d2_out, d2_in, q, c)
+        comps = {
+            (m_, n_): A[m_, n_] for m_ in range(d2) for n_ in range(d2)
+        }
 
     # static contraction basis S[(i,j), (k,l,q)] = (w G)[q,i,k] G[q,j,l]
     Gw = G * w[:, None, None]
     S = jnp.einsum("qik,qjl->ijklq", Gw, G).reshape(npc * npc, d2 * q)
     S = S.astype(dt)
 
-    # reorder A to (d, e, (k, l, q), c) and contract: dim^2 MXU matmuls
-    A = A.reshape(dim, dim, dim, dim, q, c)  # (d, k, e, l, q, c)
-    A = A.transpose(0, 2, 1, 3, 4, 5).reshape(dim, dim, d2 * q, c)
-    K = [
-        [
-            jnp.dot(
-                S, A[d, e], precision=hi, preferred_element_type=dt
+    # contract only the UPPER component blocks (d <= e): the tangent is
+    # the Hessian of a hyperelastic energy plus a symmetric mass term, so
+    # K[e][d] = K[d][e]^T exactly — mirroring by transpose both saves
+    # dim(dim-1)/2 of the d2 MXU matmuls and replaces the old
+    # 0.5 (K + K^T) averaging pass (a full extra read+write of the ~1 GB
+    # tangent) while keeping K = K^T bitwise.
+    m = (
+        jnp.asarray(mass_term, dtype=dt)[:, :, None]
+        if mass_term is not None
+        else None
+    )
+    K = [[None] * dim for _ in range(dim)]
+    for d in range(dim):
+        for e in range(d, dim):
+            Kde = jnp.dot(
+                S, block_operand(comps, d, e),
+                precision=hi, preferred_element_type=dt,
             ).reshape(npc, npc, c)
-            for e in range(dim)
-        ]
-        for d in range(dim)
-    ]
-
-    # exact symmetrization: the hyperelastic+mass tangent is symmetric, but
-    # the (d,i) and (e,j) entries above come from different summation
-    # orders, leaving O(eps) asymmetry that slowly poisons CG. One cheap
-    # pass restores K = K^T exactly.
-    K = [
-        [
-            0.5 * (K[d][e] + K[e][d].transpose(1, 0, 2))
-            for e in range(dim)
-        ]
-        for d in range(dim)
-    ]
-
-    if mass_term is not None:
-        m = jnp.asarray(mass_term, dtype=dt)[:, :, None]
-        K = [
-            [K[d][e] + m if d == e else K[d][e] for e in range(dim)]
-            for d in range(dim)
-        ]
+            if d == e:
+                # within-block summation-order roundoff is the only
+                # asymmetry left; one in-block pass restores it exactly
+                Kde = 0.5 * (Kde + Kde.transpose(1, 0, 2))
+                if m is not None:
+                    Kde = Kde + m
+                K[d][e] = Kde
+            else:
+                K[d][e] = Kde
+                K[e][d] = Kde.transpose(1, 0, 2)
     if out_dtype is not None and jnp.dtype(out_dtype) != dt:
         # narrow STORAGE dtype (e.g. bf16): the cast happens here so XLA
         # fuses the convert into the producing matmul epilogue — the
@@ -298,14 +327,12 @@ def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
         for d in range(dim)
     ]
     d2 = dim * dim
-    A = piola_tangent_c(grad, material)  # (d2_out, d2_in, q, c)
+    comps = piola_tangent_blocks(grad, material)
 
     Gw = G * w[:, None, None]
     S = jnp.einsum("qik,qjl->ijklq", Gw, G).reshape(npc * npc, d2 * q)
     S = S.astype(dt)
 
-    A = A.reshape(dim, dim, dim, dim, q, c)  # (d, k, e, l, q, c)
-    A = A.transpose(0, 2, 1, 3, 4, 5).reshape(dim, dim, d2 * q, c)
     m = (
         jnp.asarray(mass_term, dtype=dt)[:, :, None]
         if mass_term is not None
@@ -313,8 +340,19 @@ def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
     )
     out = []
     for d, e in upper_blocks(dim):
+        # per-block operand stacked directly in S's (k, l, q) order — no
+        # full (d2, d2, q, c) materialization/transpose (see
+        # assemble_cell_tangents)
+        A_de = jnp.stack(
+            [
+                comps[(d * dim + k, e * dim + l_)]
+                for k in range(dim)
+                for l_ in range(dim)
+            ],
+            axis=0,
+        ).reshape(d2 * q, c)
         Kde = jnp.dot(
-            S, A[d, e], precision=hi, preferred_element_type=dt
+            S, A_de, precision=hi, preferred_element_type=dt
         ).reshape(npc, npc, c)
         if d == e:
             # restore exact within-block symmetry lost to summation-order

@@ -249,6 +249,12 @@ def make_q2_operator_auto(
             space, E, dtype, precision, use_pallas
         )
     if use_pallas and pallas_q2_supported(space, dtype):
+        from ..utils.tunecache import pallas_healthy
+
+        if not pallas_healthy():
+            # Mosaic compiles are down for this process — the XLA
+            # structured formulation is the measured v5e winner anyway
+            return make_structured_operator(space, E, dtype, precision)
         winner = _autotune_q2_backend(space, E, dtype, precision)
         if winner == "pallas":
             try:
@@ -319,36 +325,86 @@ def _autotune_q2_backend(space, E, dtype, precision) -> str:
         if rec and rec.get("winner") in ("xla", "pallas"):
             phase(f"q2 fine-proxy autotune: sidecar hit -> {rec['winner']}")
             return rec["winner"]
+    if _os.environ.get("BENCH_LAST_ATTEMPT") == "1":
+        # the bench's final retry: two earlier attempts died somewhere in
+        # setup (wedged remote compile RPCs), so do not risk the optional
+        # measurement again — take the measured-at-scale prior (XLA won on
+        # v5e at the 1M-DoF bench shape; see docstring)
+        phase("q2 fine-proxy autotune: final attempt -> prior (xla)")
+        return "xla"
+    inflight = tunecache.load("q2_fine_inflight", skey)
+    if inflight and not inflight.get("done"):
+        # a previous process started this exact measurement and never
+        # finished it (wedged remote compile RPC -> phase-deadline abort).
+        # Re-entering would die the same way, so take the prior and
+        # persist it as the winner — MG_AUTOTUNE_REMEASURE re-measures.
+        print(
+            "q2 autotune: previous attempt died inside this measurement; "
+            "taking the prior (xla) without re-measuring",
+            file=_sys.stderr,
+        )
+        tunecache.store(
+            "q2_fine_backend", skey,
+            dict(winner="xla",
+                 note="prior: measurement wedged in a previous process"),
+        )
+        return "xla"
+    tunecache.store("q2_fine_inflight", skey, dict(done=False))
 
     results = {}
     t_budget = float(_os.environ.get("MG_AUTOTUNE_BUDGET_S", "240"))
     import time as _time
 
-    t0 = _time.perf_counter()
-    try:
-        xla_op = make_structured_operator(space, E, dtype, precision)
-        results["xla"] = time_op_on_device(
-            xla_op, space.n_nodes, space.dim, dtype
-        )
-    except Exception as e:  # noqa: BLE001 - measurement must not fail setup
-        print(f"q2 autotune: xla failed ({type(e).__name__})", file=_sys.stderr)
-    if _time.perf_counter() - t0 < t_budget:
+    # bank each candidate's measurement the moment it lands: a cold
+    # tunnel compile can push one candidate past the bench's phase
+    # deadline, and the rc=75 restart must not re-pay a candidate that
+    # already finished (livelock otherwise: every attempt dies inside
+    # the same re-measurement)
+    def _banked(name, measure):
+        ckey = skey + ":" + name
+        rec = tunecache.load("q2_fine_candidate", ckey)
+        if rec is not None:
+            if "seconds" in rec:
+                results[name] = float(rec["seconds"])
+            return
         try:
-            p_op = make_pallas_q2_operator(space, E, dtype)
-            results["pallas"] = time_op_on_device(
-                p_op, space.n_nodes, space.dim, dtype
+            results[name] = measure()
+            tunecache.store(
+                "q2_fine_candidate", ckey, dict(seconds=results[name])
             )
-        except Exception as e:  # noqa: BLE001
+        except Exception as e:  # noqa: BLE001 - must not fail setup
             print(
-                f"q2 autotune: pallas failed ({type(e).__name__})",
+                f"q2 autotune: {name} failed ({type(e).__name__})",
                 file=_sys.stderr,
             )
+            if not tunecache.transient_failure(str(e)):
+                tunecache.store(
+                    "q2_fine_candidate", ckey, dict(error=str(e)[:200])
+                )
+
+    t0 = _time.perf_counter()
+    _banked(
+        "xla",
+        lambda: time_op_on_device(
+            make_structured_operator(space, E, dtype, precision),
+            space.n_nodes, space.dim, dtype,
+        ),
+    )
+    if _time.perf_counter() - t0 < t_budget:
+        _banked(
+            "pallas",
+            lambda: time_op_on_device(
+                make_pallas_q2_operator(space, E, dtype),
+                space.n_nodes, space.dim, dtype,
+            ),
+        )
     else:
         print(
             f"q2 autotune: budget ({t_budget:.0f}s) exhausted before the "
             "pallas candidate; keeping xla",
             file=_sys.stderr,
         )
+    tunecache.store("q2_fine_inflight", skey, dict(done=True))
     if not results:
         return "xla"
     winner = min(results, key=results.get)

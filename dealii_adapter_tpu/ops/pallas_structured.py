@@ -602,6 +602,11 @@ def make_structured_operator_auto(
         )
         rec = tunecache.load_probe("pallas_probe", skey)
         try:
+            if not tunecache.pallas_healthy():
+                # Mosaic compiles are down for this process (broken remote
+                # compile helper): a cached ok=True record must not put an
+                # uncompilable kernel inside the enclosing model jit
+                raise RuntimeError("pallas unhealthy this process")
             if space.dim == 3:
                 op = make_pallas_q1_slab_operator(space, E, dtype, slab=4)
             else:

@@ -97,6 +97,23 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
         rec = tunecache.load("mg_q1_backend", skey)
         if rec and space_c.n_nodes <= rec.get("n_nodes", 0):
             winner = rec["winner"]
+            if winner == "pallas" and not tunecache.pallas_healthy():
+                # Mosaic compiles are down for this process: demote to
+                # the best measured non-Pallas candidate (the sidecar
+                # record keeps every candidate's timing) instead of
+                # crashing the step-program compile
+                timings = rec.get("timings_ms") or {}
+                alts = {n: t for n, t in timings.items() if n != "pallas"}
+                winner = (
+                    min(alts, key=alts.get) if alts else "stencil_vmem"
+                )
+                print(
+                    f"mg autotune: sidecar winner pallas unusable "
+                    f"(unhealthy Mosaic helper) -> {winner}",
+                    file=_sys.stderr,
+                )
+                _AUTOTUNE_CACHE[key] = (winner, rec["n_nodes"])
+                return winner
             print(
                 f"mg autotune: sidecar hit ({skey} @ {rec['n_nodes']} "
                 f"nodes) -> {winner}",
@@ -117,7 +134,7 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     candidates["stencil_vmem"] = lambda: make_q1_stencil_operator(
         space_c, E_c, dtype, strategy="vmem"
     )
-    if use_pallas:
+    if use_pallas and tunecache.pallas_healthy():
         from ..ops.pallas_structured import make_structured_operator_auto
 
         candidates["pallas"] = lambda: make_structured_operator_auto(
@@ -171,7 +188,9 @@ def _autotune_q1_backend(space_c, E_c, dtype, use_pallas: bool) -> str:
     if not results:
         # nothing measured inside the budget: fall back to the strongest
         # prior (round-3 hardware: the Pallas slab at 0.07 ms/apply)
-        return "pallas" if use_pallas else "stencil"
+        if use_pallas and tunecache.pallas_healthy():
+            return "pallas"
+        return "stencil"
     winner = min(results, key=results.get)
     timings = ", ".join(
         f"{n}={t*1e3:.2f}ms" for n, t in sorted(results.items(), key=lambda kv: kv[1])

@@ -102,6 +102,9 @@ _TRANSIENT_MARKERS = (
     "DEADLINE_EXCEEDED",
     "Connection",
     "Socket closed",
+    # synthetic: raised by consumers when pallas_healthy() is False — a
+    # per-process condition that must never become a persisted verdict
+    "pallas unhealthy",
 )
 
 
@@ -243,3 +246,57 @@ __all__ = [
     "source_fingerprint",
     "array_fingerprint",
 ]
+
+_PALLAS_HEALTH: Optional[bool] = None
+
+
+def pallas_healthy() -> bool:
+    """One TRIVIAL Mosaic kernel compile per process: detects the broken/
+    wedged remote-compile-helper failure mode (round-4 hardware sessions:
+    every FRESH Pallas kernel compile fails with `tpu_compile_helper
+    subprocess exit code 1` while XLA-only programs compile fine).
+
+    Sidecar probe records answer "does this kernel LOWER at this shape"
+    — a property of the kernel and hardware, correctly persisted. Whether
+    Mosaic compiles work AT ALL right now is a property of the PROCESS's
+    tunnel session, so it must be re-checked each process: a cached
+    `ok=True` probe record taken on trust would put a Pallas kernel inside
+    the step program and crash the (much more expensive) warmup compile.
+    Every consumer of a cached Pallas winner/probe gates on this.
+
+    Off-TPU always returns True (no Mosaic involved). The probe costs one
+    tiny kernel compile (~seconds on a healthy tunnel, fast-fail when the
+    helper is down); memoized per process.
+    """
+    global _PALLAS_HEALTH
+    if _PALLAS_HEALTH is not None:
+        return _PALLAS_HEALTH
+    import sys as _sys
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() != "tpu":
+            _PALLAS_HEALTH = True
+            return True
+        from jax.experimental import pallas as pl
+
+        def _k(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + 1.0
+
+        x = jnp.zeros((8, 128), jnp.float32)
+        y = pl.pallas_call(
+            _k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
+        )(x)
+        jax.block_until_ready(y)
+        _PALLAS_HEALTH = True
+    except Exception as e:  # noqa: BLE001 - any failure means "not today"
+        print(
+            f"pallas health probe failed ({type(e).__name__}: "
+            f"{str(e)[:160]}); cached Pallas winners disabled for this "
+            "process (XLA fallbacks take over)",
+            file=_sys.stderr,
+        )
+        _PALLAS_HEALTH = False
+    return _PALLAS_HEALTH
