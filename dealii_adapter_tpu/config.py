@@ -254,11 +254,11 @@ class AllParameters(
         if not (-1.0 < self.nu < 0.5):
             raise ValueError(f"Poisson's ratio out of range: {self.nu}")
         if self.tangent_matvec_kernel not in (
-            "auto", "blocks", "packed", "xla"
+            "auto", "blocks", "packed", "packedt", "xla"
         ):
             raise ValueError(
-                "tangent_matvec_kernel must be 'auto', 'blocks', 'packed' "
-                f"or 'xla', got {self.tangent_matvec_kernel!r}"
+                "tangent_matvec_kernel must be 'auto', 'blocks', 'packed', "
+                f"'packedt' or 'xla', got {self.tangent_matvec_kernel!r}"
             )
         if self.tangent_assembly_precision not in (
             "highest", "high", "default"

@@ -577,7 +577,17 @@ class NonlinearElasticity:
                             zb = jnp.zeros(
                                 (npc, npc, bc), dtype=self.solve_dtype
                             )
-                            if kind == "blocks":
+                            if kind == "packedt":
+                                z = jnp.zeros(
+                                    (edofs, edofs, bc),
+                                    dtype=self.solve_dtype,
+                                )
+                                out = (
+                                    _at_mod.apply_packed_tangents_T_pallas(
+                                        z, u0, bc
+                                    )
+                                )
+                            elif kind == "blocks":
                                 if sym:
                                     nb = len(upper_blocks(dim))
                                     out = _at_mod.apply_sym_block_tangents_pallas(
@@ -609,11 +619,23 @@ class NonlinearElasticity:
 
                         self._tangent_kernel = None
                         kinds = {
-                            "auto": ("packed", "blocks"),
+                            # packedt first: the column-major pack's
+                            # leading-axis slicing is the cheapest load
+                            # pattern AND the only one the current remote
+                            # Mosaic helper reliably compiles (the
+                            # row-major kernels' middle-axis slices crash
+                            # it — round-4 sessions)
+                            "auto": ("packedt", "packed", "blocks"),
                             "blocks": ("blocks", "packed"),
                             "packed": ("packed",),
+                            "packedt": ("packedt",),
                             "xla": (),
                         }[params.tangent_matvec_kernel]
+                        if sym:
+                            # no column-major variant of the sym kernels
+                            kinds = tuple(
+                                k for k in kinds if k != "packedt"
+                            )
                         import os as _os
 
                         if _os.environ.get("BENCH_LAST_ATTEMPT") == "1":
@@ -1309,10 +1331,12 @@ class NonlinearElasticity:
                                 apply_cell_tangents_sym,
                                 apply_packed_tangents_pallas,
                                 apply_packed_tangents_sym_pallas,
+                                apply_packed_tangents_T_pallas,
                                 apply_sym_block_tangents_pallas,
                                 assemble_cell_tangents,
                                 assemble_cell_tangents_sym,
                                 pack_cell_tangents,
+                                pack_cell_tangents_T,
                                 pack_cell_tangents_sym,
                             )
                             from ..ops.structured import (
@@ -1406,6 +1430,21 @@ class NonlinearElasticity:
                                             )
                                         o = apply_block_tangents_pallas(
                                             Kc, p2, bc
+                                        )[:, :c]
+                                        return o.reshape(dim, npc_l, c)
+
+                                elif self._tangent_kernel == "packedt":
+                                    KpT = pack_cell_tangents_T(Kc)
+
+                                    def _apply(pv):
+                                        c = pv.shape[-1]
+                                        p2 = pv.reshape(dim * npc_l, c)
+                                        if pad:
+                                            p2 = jnp.pad(
+                                                p2, ((0, 0), (0, pad))
+                                            )
+                                        o = apply_packed_tangents_T_pallas(
+                                            KpT, p2, bc
                                         )[:, :c]
                                         return o.reshape(dim, npc_l, c)
 

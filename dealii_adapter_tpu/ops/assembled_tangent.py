@@ -450,6 +450,62 @@ def pack_cell_tangents(K):
     return jnp.concatenate(rows, axis=0)
 
 
+def pack_cell_tangents_T(K):
+    """Column-major pack: KT[(e, j), (d, i), c] = K[d][e][i, j, c].
+
+    Every kernel step then reads KT[ej] — a CONTIGUOUS leading-axis
+    (edofs, block_c) tile — instead of the strided middle-axis slice
+    K[:, j, :] the row-major pack needs. Middle-axis slicing of the
+    (81, 81, bc) block is the pattern on which the remote Mosaic compile
+    helper crashes (round-4 sessions: `tpu_compile_helper subprocess exit
+    code 1` for the row-major kernels while leading-axis kernels compile
+    fine), and leading-axis tiles are the mechanically cheaper load
+    anyway. K is symmetric (K[d][e][i,j] = K[e][d][j,i]), so KT equals
+    the row-major pack and the same-layout FMA math applies."""
+    dim = len(K)
+    npc = K[0][0].shape[0]
+    cols = []
+    for e in range(dim):
+        # (npc_j, dim*npc_i, c) slab for component e: rows j, cols (d, i)
+        slab = jnp.concatenate(
+            [K[d][e].transpose(1, 0, 2) for d in range(dim)], axis=1
+        )
+        cols.append(slab)
+    return jnp.concatenate(cols, axis=0)  # (dim*npc_j, dim*npc_i, c)
+
+
+def _matvec_kernel_T(k_ref, u_ref, o_ref):
+    edofs = k_ref.shape[0]
+    odt = o_ref.dtype
+    acc = None
+    for j in range(edofs):
+        # leading-axis 2D tile per step: k_ref[j] is (edofs_i, block_c)
+        term = k_ref[j].astype(odt) * u_ref[j, :][None, :]
+        acc = term if acc is None else acc + term
+    o_ref[...] = acc
+
+
+def apply_packed_tangents_T_pallas(KT, u2, block_c=512, interpret=False):
+    """out (edofs, c) = sum_j KT[j].T-free FMA sweep over the column-major
+    pack (see `pack_cell_tangents_T`): same HBM-bound single pass over the
+    ~1 GB tangent as `apply_packed_tangents_pallas`, with only
+    leading-axis slicing inside the kernel."""
+    edofs, _, c = KT.shape
+    assert c % block_c == 0, (c, block_c)
+    grid = (c // block_c,)
+    return pl.pallas_call(
+        _matvec_kernel_T,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((edofs, edofs, block_c), lambda i: (0, 0, i)),
+            pl.BlockSpec((edofs, block_c), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((edofs, block_c), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((edofs, c), u2.dtype),
+        interpret=interpret,
+    )(KT, u2)
+
+
 try:  # Pallas/Mosaic is TPU-only; import lazily like ops/pallas_structured
     from jax.experimental import pallas as pl
 
