@@ -119,6 +119,14 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # Pallas matvec kernel choice: auto (packed-first) | blocks |
         # packed | xla (A/B knob for the pack-free block-ref kernel)
         tangent_matvec_kernel=os.environ.get("BENCH_TANGENT_KERNEL", "auto"),
+        # modified Newton: freeze the assembled tangent after iteration 1
+        # (refresh-on-stall safeguard) — skips the largest per-step cost
+        # block (per-iteration assembly, 43 ms x ~5 its at 1M DoF)
+        newton_tangent_reuse=os.environ.get("BENCH_TANGENT_REUSE", "0")
+        == "1",
+        tangent_refresh_ratio=float(
+            os.environ.get("BENCH_TANGENT_REFRESH_RATIO", "0.02")
+        ),
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"
@@ -358,40 +366,114 @@ def _plausibility_guard(model, state, stress, diag, step_times):
         n_evals = max(1, diag["newton_its"])
         if getattr(model, "_int_force32_J", None) is not None and n_evals > 1:
             # mixed schedule possible: count all but the iteration-0
-            # anchor at the (cheaper) f32 evaluation cost
-            if cached and "t64_s" in cached and "t32_s" in cached:
-                t64, t32 = cached["t64_s"], cached["t32_s"]
+            # anchor at the (cheaper) f32 evaluation cost. Round-4 verdict
+            # (weak #5): a residual-only floor sat 22x under the honest
+            # measurement — a half-broken run (Pallas silently off,
+            # autotune mispick) passed trivially. When the assembled-
+            # tangent + MG production path is active, the floor now also
+            # counts the per-Newton tangent assemblies and the per-CG
+            # tangent matvec + V-cycle applications, which puts it within
+            # ~2-3x of honest.
+            tangent_parts = bool(getattr(model, "_use_assembled", False))
+            mg_parts = tangent_parts and model.params.preconditioner == "MG"
+            need = ["t64_s", "t32_s"]
+            if tangent_parts:
+                need += ["t_asm_s", "t_mv_s"]
+            if mg_parts:
+                need += ["t_vc_s"]
+            z32 = zero.astype(model.solve_dtype)
+            if cached and all(k in cached for k in need):
+                vals = {k: cached[k] for k in need}
             else:
-                if over_budget("f32 residual floor measurement"):
-                    return
+                vals = dict(cached or {})
 
                 def res32(d):
                     r, _ = model._residual32(d, state, stress)
                     return r
 
-                z32 = zero.astype(model.solve_dtype)
-                t32 = _time_chained(lambda d: res32(d.astype(z32.dtype)), z32)
-                if over_budget("f64 residual floor measurement"):
-                    return
-                t64 = _time_chained(res64, zero)
-                tunecache.store(
-                    "bench_guard", skey, dict(t64_s=t64, t32_s=t32)
+                if "t32_s" not in vals:
+                    if over_budget("f32 residual floor measurement"):
+                        return
+                    vals["t32_s"] = _time_chained(
+                        lambda d: res32(d.astype(z32.dtype)), z32
+                    )
+                if "t64_s" not in vals:
+                    if over_budget("f64 residual floor measurement"):
+                        return
+                    vals["t64_s"] = _time_chained(res64, zero)
+                if tangent_parts and (
+                    "t_asm_s" not in vals or "t_mv_s" not in vals
+                ):
+                    if over_budget("tangent floor measurement"):
+                        return
+                    import jax
+
+                    assemble_Kt, make_mv = model._make_tangent_fns()
+
+                    def asm_field(u):
+                        Kt = assemble_Kt(u)
+                        # full reduction over every block defeats DCE of
+                        # any part of the assembly (cost: one extra HBM
+                        # read of K, small vs the assembly matmuls)
+                        s = sum(
+                            jnp.sum(leaf)
+                            for leaf in jax.tree_util.tree_leaves(Kt)
+                        )
+                        return u + (s * 1e-30).astype(u.dtype)
+
+                    vals["t_asm_s"] = _time_chained(
+                        asm_field, z32, chain_short=2, chain_long=6
+                    )
+                    K32 = make_mv(assemble_Kt(z32))
+                    vals["t_mv_s"] = _time_chained(K32, z32)
+                if mg_parts and "t_vc_s" not in vals:
+                    if over_budget("V-cycle floor measurement"):
+                        return
+                    pdt = model._precond.dtype
+                    vals["t_vc_s"] = _time_chained(
+                        lambda v: model._precond(v.astype(pdt)).astype(
+                            v.dtype
+                        ),
+                        z32,
+                    )
+                tunecache.store("bench_guard", skey, vals)
+            t64, t32 = vals["t64_s"], vals["t32_s"]
+            floor_s = t64 + (n_evals - 1) * t32
+            detail = f"1 f64 + {n_evals - 1} f32 residual evals"
+            if tangent_parts:
+                # modified Newton (tangent reuse) legitimately assembles
+                # only once per step; a non-reuse run assembles every
+                # Newton iteration. The floor must bound BOTH.
+                n_asm = (
+                    1 if model.params.newton_tangent_reuse else n_evals
                 )
-            floor = 0.5 * (t64 + (n_evals - 1) * t32)
+                cg_its = max(1, diag.get("cg_its", 1))
+                per_cg = vals["t_mv_s"] + (
+                    vals["t_vc_s"] if mg_parts else 0.0
+                )
+                floor_s += n_asm * vals["t_asm_s"] + cg_its * per_cg
+                detail += (
+                    f" + {n_asm} tangent asm x {vals['t_asm_s']*1e3:.1f} ms"
+                    f" + {cg_its} CG its x {per_cg*1e3:.2f} ms (matvec"
+                    + ("+V-cycle)" if mg_parts else ")")
+                )
+            floor = 0.5 * floor_s
             per_step = min(step_times)
             print(
                 f"bench guard: t_f64={t64*1e3:.1f} ms, t_f32={t32*1e3:.1f} "
-                f"ms, n_evals={n_evals}, floor={floor*1e3:.1f} ms/step, "
-                f"measured min={per_step*1e3:.1f} ms/step",
+                f"ms, n_evals={n_evals}, floor={floor*1e3:.1f} ms/step "
+                f"({detail} x 0.5 margin), measured "
+                f"min={per_step*1e3:.1f} ms/step "
+                f"(headroom {per_step/max(floor,1e-9):.1f}x)",
                 file=sys.stderr,
             )
             if per_step < floor:
                 print(
                     f"bench: FAILED plausibility guard — measured "
                     f"{per_step:.4f} s/step is below the component-derived "
-                    f"floor {floor:.4f} s (1 f64 + {n_evals - 1} f32 "
-                    "residual evals x 0.5 margin). The timing harness did "
-                    "not observe real execution; refusing to report.",
+                    f"floor {floor:.4f} s ({detail} x 0.5 margin). The "
+                    "timing harness did not observe real execution; "
+                    "refusing to report.",
                     file=sys.stderr,
                 )
                 sys.exit(3)

@@ -225,6 +225,30 @@ class AllParameters(
     # Mosaic compile + timing (blocked 2026-08-19: the remote compile
     # helper 500s on every fresh Pallas compile).
     tangent_matvec_kernel: str = "auto"
+    # Modified-Newton tangent reuse (assembled backend only): assemble the
+    # materialized per-cell tangent for the first `tangent_reuse_after`
+    # Newton iterations of each step and FREEZE it afterwards. The
+    # reference re-assembles every iteration
+    # (`nonlinear_elasticity.cc:1044-1087`); freezing trades the largest
+    # per-step cost block (assembly: 43 ms x ~5 its at 1M DoF, round-4
+    # profile) for Newton iterations that converge linearly instead of
+    # quadratically once frozen. The convergence CONTRACT is untouched —
+    # residuals stay exact, only the linear-solve operator lags the
+    # iterate. Non-acceleration safeguard: exact-Newton residual ratios
+    # shrink (super)linearly iteration over iteration, while a stale
+    # frozen tangent produces a CONSTANT contraction rate — so an
+    # iteration whose predecessor solved with a frozen tangent and whose
+    # realized ratio fails to drop below half the previous iteration's
+    # ratio re-assembles at the current iterate before solving. Frozen
+    # iterations already contracting faster than `tangent_refresh_ratio`
+    # per iteration (default 50x/it) are left frozen regardless: they
+    # finish in a couple of iterations and a refresh would cost more
+    # than it saves. (A fixed-threshold safeguard was measured to stall:
+    # frozen-rate ~0.3-0.45 sat under the 0.5 cut and burned the entire
+    # iteration budget on the 2D drive.)
+    newton_tangent_reuse: bool = False
+    tangent_reuse_after: int = 1
+    tangent_refresh_ratio: float = 0.02
     # NOTE: a bf16 STORAGE dtype for the materialized tangent was built
     # and measured in round 4 and REMOVED: entry-wise rounding of K is
     # amplified by kappa(K) and stalls/diverges Newton (2D drive: no
@@ -261,11 +285,12 @@ class AllParameters(
                 f"'packedt' or 'xla', got {self.tangent_matvec_kernel!r}"
             )
         if self.tangent_assembly_precision not in (
-            "highest", "high", "default"
+            "highest", "high", "default", "bf16emu"
         ):
             raise ValueError(
-                "tangent_assembly_precision must be 'highest', 'high' or "
-                f"'default', got {self.tangent_assembly_precision!r}"
+                "tangent_assembly_precision must be 'highest', 'high', "
+                "'default' or 'bf16emu' (test-only CPU emulation of "
+                f"'default'), got {self.tangent_assembly_precision!r}"
             )
         return self
 
@@ -321,6 +346,9 @@ _PRM_KEYMAP: Dict[Tuple[str, str], str] = {
     ("tpu", "solve dtype"): "solve_dtype",
     ("tpu", "preconditioner dtype"): "precond_dtype",
     ("tpu", "tangent backend"): "tangent_backend",
+    ("tpu", "newton tangent reuse"): "newton_tangent_reuse",
+    ("tpu", "tangent reuse after"): "tangent_reuse_after",
+    ("tpu", "tangent refresh ratio"): "tangent_refresh_ratio",
 }
 
 _FIELD_TYPES = {f.name: f.type for f in dataclasses.fields(AllParameters)}

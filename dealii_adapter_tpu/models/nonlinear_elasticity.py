@@ -524,6 +524,26 @@ class NonlinearElasticity:
                 )
             if fits:
                 self._use_assembled = True
+                if params.tangent_assembly_precision in (
+                    "default", "bf16emu"
+                ):
+                    import warnings as _warnings
+
+                    # round-4 hardware finding: 1-pass bf16 tangent
+                    # assembly DIVERGES Newton on the production solve
+                    # (max_u 4.5 vs 0.0107) — entry-wise rounding of K is
+                    # amplified by kappa(K). Kept only for study;
+                    # tests/test_assembled_tangent.py pins the failure
+                    # class on CPU via 'bf16emu'.
+                    _warnings.warn(
+                        "tangent_assembly_precision="
+                        f"'{params.tangent_assembly_precision}' assembles "
+                        "the Newton tangent from single-bf16-pass matmuls "
+                        "— measured DIVERGENT at production scale "
+                        "(round-4 hardware session). Use 'highest' (or "
+                        "'high') for real runs.",
+                        stacklevel=2,
+                    )
                 npc = space.tab.n_nodes
                 a1 = 0.0 if self.quasi_static else self.alpha_1
                 m_scalar = np.asarray(elem.M_e).reshape(npc, dim, npc, dim)[
@@ -633,9 +653,20 @@ class NonlinearElasticity:
                         }[params.tangent_matvec_kernel]
                         if sym:
                             # no column-major variant of the sym kernels
-                            kinds = tuple(
-                                k for k in kinds if k != "packedt"
-                            )
+                            if params.tangent_matvec_kernel == "packedt":
+                                import warnings as _warnings
+
+                                _warnings.warn(
+                                    "tangent_matvec_kernel='packedt' has "
+                                    "no block-symmetric variant; using "
+                                    "'packed' (row-major) instead",
+                                    stacklevel=2,
+                                )
+                                kinds = ("packed",)
+                            else:
+                                kinds = tuple(
+                                    k for k in kinds if k != "packedt"
+                                )
                         import os as _os
 
                         if _os.environ.get("BENCH_LAST_ATTEMPT") == "1":
@@ -847,6 +878,149 @@ class NonlinearElasticity:
             and params.preconditioner == "MG"
             and not params.mg_skip_fine_smoothing
         )
+
+    # ------------------------------------------------------------------
+
+    def _make_tangent_fns(self):
+        """Closures `(assemble_Kt, make_tangent_matvec)` for the
+        materialized per-cell tangent path (`self._use_assembled`).
+
+        `assemble_Kt(u_t)` assembles AND packs the tangent at the f32
+        iterate `u_t` into the pytree layout the selected matvec kernel
+        consumes (a frozen/reused tangent therefore skips the pack pass
+        too); `make_tangent_matvec(Kt)` returns the BC-masked CG operator
+        over that pytree. Factored out of the Newton body so the
+        modified-Newton reuse path can carry `Kt` across
+        `lax.while_loop` iterations (`newton_tangent_reuse`)."""
+        from ..ops.assembled_tangent import (
+            apply_block_tangents_pallas,
+            apply_cell_tangents,
+            apply_cell_tangents_sym,
+            apply_packed_tangents_pallas,
+            apply_packed_tangents_sym_pallas,
+            apply_packed_tangents_T_pallas,
+            apply_sym_block_tangents_pallas,
+            assemble_cell_tangents,
+            assemble_cell_tangents_sym,
+            pack_cell_tangents,
+            pack_cell_tangents_T,
+            pack_cell_tangents_sym,
+        )
+        from ..ops.structured import extract_cell_patches_T, overlap_add_T
+
+        params = self.params
+        dim = self.space.dim
+        deg = self.mesh.degree
+        gs, rr = self._grid_shape, self._reps_rev
+        npc_l = self.space.tab.n_nodes
+        bc = getattr(self, "_tangent_block_c", 0)
+        pad = getattr(self, "_tangent_pad", 0)
+        mask_t = self.mask_t
+        sym = bool(params.tangent_block_symmetric)
+        kern = self._tangent_kernel
+
+        def assemble_Kt(u_t):
+            ut_p = extract_cell_patches_T(u_t.reshape(gs + (dim,)), deg, rr)
+            if self._tangent_pallas and pad:
+                # pad the INPUT patches to the kernel's lane-block
+                # multiple so the assembled tangent is born padded — a
+                # ~25 MB copy here instead of a ~1 GB pad pass on the
+                # materialized K (padded lanes see u=0 -> F=I, a benign
+                # well-defined tangent)
+                ut_p = jnp.pad(ut_p, ((0, 0), (0, 0), (0, pad)))
+            if sym:
+                # upper component blocks only: 2/3 the assembly matmuls
+                # and matvec HBM traffic
+                Ku = assemble_cell_tangents_sym(
+                    ut_p, self._G_t, self._w_t, self.material,
+                    mass_term=self._tangent_mass,
+                    precision=params.tangent_assembly_precision,
+                )
+                if kern == "blocks" or not self._tangent_pallas:
+                    return tuple(Ku)
+                return pack_cell_tangents_sym(Ku)
+            Kc = assemble_cell_tangents(
+                ut_p, self._G_t, self._w_t, self.material,
+                mass_term=self._tangent_mass,
+                precision=params.tangent_assembly_precision,
+            )
+            if kern == "blocks" or not self._tangent_pallas:
+                return tuple(tuple(row) for row in Kc)
+            if kern == "packedt":
+                return pack_cell_tangents_T(Kc)
+            return pack_cell_tangents(Kc)
+
+        def _pad_cols(pv):
+            c = pv.shape[-1]
+            p2 = pv.reshape(dim * npc_l, c)
+            if pad:
+                p2 = jnp.pad(p2, ((0, 0), (0, pad)))
+            return p2, c
+
+        def make_tangent_matvec(Kt):
+            if sym:
+                if kern == "blocks":
+
+                    def _apply(pv):
+                        p2, c = _pad_cols(pv)
+                        o = apply_sym_block_tangents_pallas(
+                            list(Kt), p2, dim, npc_l, bc
+                        )[:, :c]
+                        return o.reshape(dim, npc_l, c)
+
+                elif self._tangent_pallas:
+
+                    def _apply(pv):
+                        p2, c = _pad_cols(pv)
+                        o = apply_packed_tangents_sym_pallas(
+                            Kt, p2, dim, npc_l, bc
+                        )[:, :c]
+                        return o.reshape(dim, npc_l, c)
+
+                else:
+
+                    def _apply(pv):
+                        return apply_cell_tangents_sym(list(Kt), pv)
+
+            elif kern == "blocks":
+
+                def _apply(pv):
+                    p2, c = _pad_cols(pv)
+                    o = apply_block_tangents_pallas(
+                        [list(r) for r in Kt], p2, bc
+                    )[:, :c]
+                    return o.reshape(dim, npc_l, c)
+
+            elif kern == "packedt":
+
+                def _apply(pv):
+                    p2, c = _pad_cols(pv)
+                    o = apply_packed_tangents_T_pallas(Kt, p2, bc)[:, :c]
+                    return o.reshape(dim, npc_l, c)
+
+            elif self._tangent_pallas:
+
+                def _apply(pv):
+                    p2, c = _pad_cols(pv)
+                    o = apply_packed_tangents_pallas(Kt, p2, bc)[:, :c]
+                    return o.reshape(dim, npc_l, c)
+
+            else:
+
+                def _apply(pv):
+                    return apply_cell_tangents([list(r) for r in Kt], pv)
+
+            def K32(v):
+                mv = mask_t * v
+                pv = extract_cell_patches_T(
+                    mv.reshape(gs + (dim,)), deg, rr
+                )
+                Kv = overlap_add_T(_apply(pv), deg, rr, gs).reshape(-1, dim)
+                return self._shard(mask_t * Kv + (1.0 - mask_t) * v)
+
+            return K32
+
+        return assemble_Kt, make_tangent_matvec
 
     # ------------------------------------------------------------------
     # pure physics functions (also used directly by tests)
@@ -1109,6 +1283,20 @@ class NonlinearElasticity:
                 f"capped at 16384 unknowns. Use type_lin='CG' for this size."
             )
 
+        if self._use_assembled:
+            assemble_Kt, make_tangent_matvec = self._make_tangent_fns()
+        # Modified Newton: carry the assembled tangent across iterations
+        # and refresh it only for the first `tangent_reuse_after`
+        # iterations or on the stale-tangent safeguard (see config.py)
+        reuse_tangent = bool(
+            params.newton_tangent_reuse
+            and self._use_assembled
+            and use_cg
+            and self._mixed_tangent
+        )
+        reuse_after = int(params.tangent_reuse_after)
+        refresh_ratio = float(params.tangent_refresh_ratio)
+
         def norm(v):
             # Norms steer decisions only through *ratios* (res_rel, upd_rel,
             # Eisenstat-Walker eta) and threshold comparisons, so ~1e-7
@@ -1141,6 +1329,10 @@ class NonlinearElasticity:
                 res_floor: jnp.ndarray  # measured f32-residual noise floor
                 calibrated: jnp.ndarray  # floor measured at a nonzero iterate
                 want64_next: jnp.ndarray  # predicted: next iterate near floor
+                Kt: tuple  # carried assembled tangent (modified Newton;
+                #            () when tangent reuse is off)
+                ratio_prev: jnp.ndarray  # previous iteration's residual
+                #            contraction ratio (non-acceleration safeguard)
 
             one = jnp.asarray(1.0, self.dtype)
 
@@ -1308,7 +1500,7 @@ class NonlinearElasticity:
                         return jnp.maximum(eta * res_abs, 0.5 * T)
                     return params.tol_lin * res_abs  # `:1171-1172`
 
-                def do_solve(_):
+                def do_solve(Kt_in):
                     if use_cg and self._mixed_tangent:
                         # inexact Newton: tangent action linearized from the
                         # f32 copy of the internal force at the current
@@ -1322,165 +1514,53 @@ class NonlinearElasticity:
                         a1_t = 0.0 if self.quasi_static else self.alpha_1
 
                         if self._use_assembled:
-                            # materialize per-cell tangents once, then each
-                            # CG matvec is extract -> batched FMA sweep ->
-                            # overlap-add (one linear HBM pass over K)
-                            from ..ops.assembled_tangent import (
-                                apply_cell_tangents,
-                                apply_block_tangents_pallas,
-                                apply_cell_tangents_sym,
-                                apply_packed_tangents_pallas,
-                                apply_packed_tangents_sym_pallas,
-                                apply_packed_tangents_T_pallas,
-                                apply_sym_block_tangents_pallas,
-                                assemble_cell_tangents,
-                                assemble_cell_tangents_sym,
-                                pack_cell_tangents,
-                                pack_cell_tangents_T,
-                                pack_cell_tangents_sym,
-                            )
-                            from ..ops.structured import (
-                                extract_cell_patches_T,
-                                overlap_add_T,
-                            )
-
-                            deg = self.mesh.degree
-                            gs, rr = self._grid_shape, self._reps_rev
-                            ut_p = extract_cell_patches_T(
-                                u_t.reshape(gs + (dim,)), deg, rr
-                            )
-                            npc_l = self.space.tab.n_nodes
-                            bc = getattr(self, "_tangent_block_c", 0)
-                            pad = getattr(self, "_tangent_pad", 0)
-                            if self._tangent_pallas and pad:
-                                # pad the INPUT patches to the kernel's
-                                # lane-block multiple so the assembled
-                                # tangent is born padded — a ~25 MB copy
-                                # here instead of a ~1 GB pad pass on the
-                                # materialized K every Newton iteration
-                                # (padded lanes see u=0 -> F=I, a benign
-                                # well-defined tangent)
-                                ut_p = jnp.pad(
-                                    ut_p, ((0, 0), (0, 0), (0, pad))
+                            # materialize per-cell tangents (once per
+                            # refresh), then each CG matvec is extract ->
+                            # batched FMA sweep -> overlap-add (one linear
+                            # HBM pass over K) — see _make_tangent_fns
+                            if reuse_tangent:
+                                # modified Newton: refresh for the first
+                                # `tangent_reuse_after` iterations, then
+                                # freeze. Non-acceleration safeguard:
+                                # exact Newton's ratios shrink iteration
+                                # over iteration; a stale frozen tangent
+                                # contracts at a CONSTANT rate — so a
+                                # frozen iteration whose ratio fails to
+                                # drop below half the previous ratio
+                                # re-assembles at the current iterate,
+                                # unless the frozen rate is already
+                                # faster than refresh_ratio (fast enough
+                                # that a refresh costs more than the 1-2
+                                # remaining iterations it would save)
+                                ratio = res_abs / c.res_abs
+                                stale = jnp.logical_and(
+                                    ratio > 0.5 * c.ratio_prev,
+                                    ratio > refresh_ratio,
                                 )
-                            if params.tangent_block_symmetric:
-                                # upper component blocks only: 2/3 the
-                                # assembly matmuls and matvec HBM traffic
-                                Ku = assemble_cell_tangents_sym(
-                                    ut_p, self._G_t, self._w_t,
-                                    self.material,
-                                    mass_term=self._tangent_mass,
-                                    precision=(
-                                        params.tangent_assembly_precision
+                                refresh = jnp.logical_or(
+                                    c.it < reuse_after,
+                                    jnp.logical_and(
+                                        c.it > reuse_after, stale
                                     ),
                                 )
-                                if self._tangent_kernel == "blocks":
-
-                                    def _apply(pv):
-                                        c = pv.shape[-1]
-                                        p2 = pv.reshape(dim * npc_l, c)
-                                        if pad:
-                                            p2 = jnp.pad(
-                                                p2, ((0, 0), (0, pad))
-                                            )
-                                        o = apply_sym_block_tangents_pallas(
-                                            Ku, p2, dim, npc_l, bc
-                                        )[:, :c]
-                                        return o.reshape(dim, npc_l, c)
-
-                                elif self._tangent_pallas:
-                                    Kp = pack_cell_tangents_sym(Ku)
-
-                                    def _apply(pv):
-                                        c = pv.shape[-1]
-                                        p2 = pv.reshape(dim * npc_l, c)
-                                        if pad:
-                                            p2 = jnp.pad(
-                                                p2, ((0, 0), (0, pad))
-                                            )
-                                        o = apply_packed_tangents_sym_pallas(
-                                            Kp, p2, dim, npc_l, bc
-                                        )[:, :c]
-                                        return o.reshape(dim, npc_l, c)
-
-                                else:
-
-                                    def _apply(pv):
-                                        return apply_cell_tangents_sym(
-                                            Ku, pv
-                                        )
-
+                                Kt = jax.lax.cond(
+                                    refresh,
+                                    lambda _: assemble_Kt(u_t),
+                                    lambda _: Kt_in,
+                                    None,
+                                )
+                                K32 = make_tangent_matvec(Kt)
                             else:
-                                Kc = assemble_cell_tangents(
-                                    ut_p,
-                                    self._G_t, self._w_t, self.material,
-                                    mass_term=self._tangent_mass,
-                                    precision=(
-                                        params.tangent_assembly_precision
-                                    ),
+                                # fresh tangent every iteration: keep it
+                                # local (the carry slot stays the empty
+                                # pytree no_solve threads through)
+                                K32 = make_tangent_matvec(
+                                    assemble_Kt(u_t)
                                 )
-                                if self._tangent_kernel == "blocks":
-
-                                    def _apply(pv):
-                                        c = pv.shape[-1]
-                                        p2 = pv.reshape(dim * npc_l, c)
-                                        if pad:
-                                            p2 = jnp.pad(
-                                                p2, ((0, 0), (0, pad))
-                                            )
-                                        o = apply_block_tangents_pallas(
-                                            Kc, p2, bc
-                                        )[:, :c]
-                                        return o.reshape(dim, npc_l, c)
-
-                                elif self._tangent_kernel == "packedt":
-                                    KpT = pack_cell_tangents_T(Kc)
-
-                                    def _apply(pv):
-                                        c = pv.shape[-1]
-                                        p2 = pv.reshape(dim * npc_l, c)
-                                        if pad:
-                                            p2 = jnp.pad(
-                                                p2, ((0, 0), (0, pad))
-                                            )
-                                        o = apply_packed_tangents_T_pallas(
-                                            KpT, p2, bc
-                                        )[:, :c]
-                                        return o.reshape(dim, npc_l, c)
-
-                                elif self._tangent_pallas:
-                                    Kp = pack_cell_tangents(Kc)
-
-                                    def _apply(pv):
-                                        c = pv.shape[-1]
-                                        p2 = pv.reshape(dim * npc_l, c)
-                                        if pad:
-                                            p2 = jnp.pad(
-                                                p2, ((0, 0), (0, pad))
-                                            )
-                                        o = apply_packed_tangents_pallas(
-                                            Kp, p2, bc
-                                        )[:, :c]
-                                        return o.reshape(dim, npc_l, c)
-
-                                else:
-
-                                    def _apply(pv):
-                                        return apply_cell_tangents(Kc, pv)
-
-                            def K32(v):
-                                mv = mask_t * v
-                                pv = extract_cell_patches_T(
-                                    mv.reshape(gs + (dim,)), deg, rr
-                                )
-                                Kv = overlap_add_T(
-                                    _apply(pv), deg, rr, gs
-                                ).reshape(-1, dim)
-                                return self._shard(
-                                    mask_t * Kv + (1.0 - mask_t) * v
-                                )
+                                Kt = Kt_in
 
                         else:
+                            Kt = Kt_in
                             _, jvp_int = jax.linearize(self._int_force_t, u_t)
 
                             def K32(v):
@@ -1514,7 +1594,7 @@ class NonlinearElasticity:
                             jnp.zeros((n_nodes, dim), dtype=tdtype),
                             tol=tol, max_iter=max_cg, preconditioner=precond_k,
                         )
-                        return r.x.astype(self.dtype), r.iterations
+                        return r.x.astype(self.dtype), r.iterations, Kt
 
                     # consistent tangent action via linearization at delta
                     _, jvp = jax.linearize(rhs_fn, c.delta)
@@ -1525,7 +1605,7 @@ class NonlinearElasticity:
                     if use_cg:
                         r = cg_solve(K, rhs, zero, tol=cg_tolerance(),
                                      max_iter=max_cg, preconditioner=precond)
-                        return r.x, r.iterations
+                        return r.x, r.iterations, Kt_in
                     # dense direct: materialize the tangent (small cases only)
                     basis = jnp.eye(n_nodes * dim, dtype=self.dtype)
                     cols = jax.vmap(
@@ -1533,12 +1613,14 @@ class NonlinearElasticity:
                         out_axes=1,
                     )(basis)
                     du = jnp.linalg.solve(cols, rhs.reshape(-1))
-                    return du.reshape(n_nodes, dim), jnp.int32(1)
+                    return du.reshape(n_nodes, dim), jnp.int32(1), Kt_in
 
-                def no_solve(_):
-                    return zero, jnp.int32(0)
+                def no_solve(Kt_in):
+                    return zero, jnp.int32(0), Kt_in
 
-                du, cg_its = jax.lax.cond(conv, no_solve, do_solve, None)
+                du, cg_its, Kt_new = jax.lax.cond(
+                    conv, no_solve, do_solve, c.Kt
+                )
                 upd_abs_new = norm(mask * du)
                 upd0 = jnp.where(
                     jnp.logical_and(c.it == 0, ~conv),
@@ -1562,6 +1644,10 @@ class NonlinearElasticity:
                     res_floor=res_floor,
                     calibrated=calibrated,
                     want64_next=want64_next,
+                    Kt=Kt_new,
+                    ratio_prev=jnp.where(
+                        conv, c.ratio_prev, res_abs / c.res_abs
+                    ),
                 )
 
             if params.newton_predictor and not self.quasi_static:
@@ -1574,6 +1660,22 @@ class NonlinearElasticity:
                 delta0 = mask * delta0
             else:
                 delta0 = zero
+            if reuse_tangent:
+                # zero-initialized carry slot for the assembled tangent;
+                # iteration 0 always refreshes (it < reuse_after), so the
+                # zeros are never applied — they only fix the carry's
+                # pytree structure/shapes
+                Kt0 = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(
+                        assemble_Kt,
+                        jax.ShapeDtypeStruct(
+                            (n_nodes, dim), self.solve_dtype
+                        ),
+                    ),
+                )
+            else:
+                Kt0 = ()
             init = Carry(
                 delta=delta0,
                 it=jnp.int32(0),
@@ -1589,6 +1691,8 @@ class NonlinearElasticity:
                 res_floor=jnp.asarray(0.0, self.dtype),
                 calibrated=jnp.asarray(False),
                 want64_next=jnp.asarray(False),
+                Kt=Kt0,
+                ratio_prev=one,
             )
             return jax.lax.while_loop(cond, body, init)
 

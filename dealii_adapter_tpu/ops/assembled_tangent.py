@@ -141,6 +141,35 @@ def piola_tangent_c(grad, material):
     )
 
 
+def _resolve_precision(precision):
+    """Map the assembly-precision tier name to a lax.Precision (or the
+    "bf16emu" sentinel, handled by `_pdot`)."""
+    return {
+        "highest": jax.lax.Precision.HIGHEST,  # 6 bf16 passes: exact f32
+        "high": jax.lax.Precision.HIGH,  # 3 passes (~19-bit significand)
+        "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — measured
+        # DIVERGENT on the production solve (round 4): entry error after
+        # the S-contraction's cancellations is amplified by kappa(K)
+        "bf16emu": "bf16emu",  # test-only: explicitly round the matmul
+        # INPUTS to bf16 (f32 accumulate) so the "default" failure class
+        # reproduces on CPU, where Precision.DEFAULT is a no-op
+        # (round-4 finding: CPU tests never caught the divergence)
+    }[precision]
+
+
+def _pdot(a, b, hi, dt):
+    """Precision-tiered dot: lax.Precision tiers pass through; the
+    "bf16emu" tier rounds both operands to bf16 first — a faithful CPU
+    emulation of one TPU MXU pass (bf16 inputs, f32 accumulation)."""
+    if hi == "bf16emu":
+        return jnp.dot(
+            a.astype(jnp.bfloat16).astype(dt),
+            b.astype(jnp.bfloat16).astype(dt),
+            preferred_element_type=dt,
+        )
+    return jnp.dot(a, b, precision=hi, preferred_element_type=dt)
+
+
 def assemble_cell_tangents(ut, G, w, material, mass_term=None,
                            method="analytic", precision="highest",
                            out_dtype=None):
@@ -168,18 +197,12 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
     dim, npc, c = ut.shape
     q = G.shape[0]
     dt = ut.dtype
-    hi = {
-        "highest": jax.lax.Precision.HIGHEST,  # 6 bf16 passes: exact f32
-        "high": jax.lax.Precision.HIGH,  # 3 passes (~19-bit significand)
-        "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — measured
-        # DIVERGENT on the production solve (round 4): entry error after
-        # the S-contraction's cancellations is amplified by kappa(K)
-    }[precision]
+    hi = _resolve_precision(precision)
 
     # displacement gradient per QP: grad[d][e] (q, c)
     grad = [
         [
-            jnp.dot(G[:, :, e], ut[d], precision=hi, preferred_element_type=dt)
+            _pdot(G[:, :, e], ut[d], hi, dt)
             for e in range(dim)
         ]
         for d in range(dim)
@@ -240,9 +263,8 @@ def assemble_cell_tangents(ut, G, w, material, mass_term=None,
     K = [[None] * dim for _ in range(dim)]
     for d in range(dim):
         for e in range(d, dim):
-            Kde = jnp.dot(
-                S, block_operand(comps, d, e),
-                precision=hi, preferred_element_type=dt,
+            Kde = _pdot(
+                S, block_operand(comps, d, e), hi, dt
             ).reshape(npc, npc, c)
             if d == e:
                 # within-block summation-order roundoff is the only
@@ -311,17 +333,11 @@ def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
     dim, npc, c = ut.shape
     q = G.shape[0]
     dt = ut.dtype
-    hi = {
-        "highest": jax.lax.Precision.HIGHEST,  # 6 bf16 passes: exact f32
-        "high": jax.lax.Precision.HIGH,  # 3 passes (~19-bit significand)
-        "default": jax.lax.Precision.DEFAULT,  # 1 bf16 pass — measured
-        # DIVERGENT on the production solve (round 4): entry error after
-        # the S-contraction's cancellations is amplified by kappa(K)
-    }[precision]
+    hi = _resolve_precision(precision)
 
     grad = [
         [
-            jnp.dot(G[:, :, e], ut[d], precision=hi, preferred_element_type=dt)
+            _pdot(G[:, :, e], ut[d], hi, dt)
             for e in range(dim)
         ]
         for d in range(dim)
@@ -351,9 +367,7 @@ def assemble_cell_tangents_sym(ut, G, w, material, mass_term=None,
             ],
             axis=0,
         ).reshape(d2 * q, c)
-        Kde = jnp.dot(
-            S, A_de, precision=hi, preferred_element_type=dt
-        ).reshape(npc, npc, c)
+        Kde = _pdot(S, A_de, hi, dt).reshape(npc, npc, c)
         if d == e:
             # restore exact within-block symmetry lost to summation-order
             # roundoff (same role as the full path's averaging pass)

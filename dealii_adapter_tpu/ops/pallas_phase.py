@@ -320,7 +320,8 @@ def _autotune_q2_backend(space, E, dtype, precision) -> str:
         str(jnp.dtype(dtype)),
         fp,
     )
-    if not _os.environ.get("MG_AUTOTUNE_REMEASURE"):
+    remeasure = bool(_os.environ.get("MG_AUTOTUNE_REMEASURE"))
+    if not remeasure:
         rec = tunecache.load("q2_fine_backend", skey)
         if rec and rec.get("winner") in ("xla", "pallas"):
             phase(f"q2 fine-proxy autotune: sidecar hit -> {rec['winner']}")
@@ -332,7 +333,11 @@ def _autotune_q2_backend(space, E, dtype, precision) -> str:
         # v5e at the 1M-DoF bench shape; see docstring)
         phase("q2 fine-proxy autotune: final attempt -> prior (xla)")
         return "xla"
-    inflight = tunecache.load("q2_fine_inflight", skey)
+    # REMEASURE is the documented escape hatch: it must bypass not only
+    # the winner record but also the inflight breadcrumb and the banked
+    # candidate measurements, or a stale done=False breadcrumb makes
+    # re-measuring impossible for that key (advisor finding, round 4)
+    inflight = None if remeasure else tunecache.load("q2_fine_inflight", skey)
     if inflight and not inflight.get("done"):
         # a previous process started this exact measurement and never
         # finished it (wedged remote compile RPC -> phase-deadline abort).
@@ -362,7 +367,9 @@ def _autotune_q2_backend(space, E, dtype, precision) -> str:
     # the same re-measurement)
     def _banked(name, measure):
         ckey = skey + ":" + name
-        rec = tunecache.load("q2_fine_candidate", ckey)
+        rec = (
+            None if remeasure else tunecache.load("q2_fine_candidate", ckey)
+        )
         if rec is not None:
             if "seconds" in rec:
                 results[name] = float(rec["seconds"])

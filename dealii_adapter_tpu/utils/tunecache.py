@@ -105,6 +105,11 @@ _TRANSIENT_MARKERS = (
     # synthetic: raised by consumers when pallas_healthy() is False — a
     # per-process condition that must never become a persisted verdict
     "pallas unhealthy",
+    # synthetic: raised when a stale inflight breadcrumb says a PREVIOUS
+    # process died inside this probe. Skipping once is correct; caching
+    # ok=False would turn one killed process into a permanent kernel
+    # disable (advisor finding, round 4)
+    "wedged in this probe",
 )
 
 
@@ -136,9 +141,25 @@ sys.exit(0 if abs(float(y[0, 0]) - {salt}) < 1e-6 else 1)
 """
 
 
-def mosaic_canary(timeout_s: float = 150.0) -> bool:
-    """True if this host can compile AND run a trivial Mosaic (Pallas)
-    kernel within `timeout_s` right now.
+_DEVICE_ACQUIRE_MARKERS = (
+    # child-process failures that say "the TPU client could not even
+    # start in a second process", not "Mosaic compiles are broken" —
+    # e.g. a libtpu single-process lock on directly-attached hardware.
+    # On such hosts the subprocess canary is uninformative and the
+    # caller falls back to the in-process probe.
+    "Unable to initialize backend",
+    "already in use",
+    "Device or resource busy",
+    "libtpu.so",
+    "No visible TPU",
+)
+
+
+def mosaic_canary(timeout_s: float = 150.0) -> Optional[bool]:
+    """True/False if this host can compile AND run a trivial Mosaic
+    (Pallas) kernel within `timeout_s` right now; None if the subprocess
+    probe is uninformative (the child could not acquire a TPU client at
+    all — single-process device locks).
 
     Probed in a SUBPROCESS with a hard timeout because the failure mode
     this guards against is a remote compile service that neither fails
@@ -159,12 +180,20 @@ def mosaic_canary(timeout_s: float = 150.0) -> bool:
 
     src = _CANARY_SRC.format(salt=round(2.0 + (_time.time() % 997) / 1e4, 8))
     try:
-        rc = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "-c", src],
             timeout=timeout_s,
             capture_output=True,
-        ).returncode
-        ok = rc == 0
+        )
+        if proc.returncode == 0:
+            ok: Optional[bool] = True
+        else:
+            err = (proc.stderr or b"").decode("utf-8", "replace")
+            ok = (
+                None
+                if any(m in err for m in _DEVICE_ACQUIRE_MARKERS)
+                else False
+            )
     except subprocess.TimeoutExpired:
         ok = False
     _MOSAIC_CANARY["ok"] = ok
@@ -251,7 +280,7 @@ _PALLAS_HEALTH: Optional[bool] = None
 
 
 def pallas_healthy() -> bool:
-    """One TRIVIAL Mosaic kernel compile per process: detects the broken/
+    """One trivial Mosaic kernel compile per process: detects the broken/
     wedged remote-compile-helper failure mode (round-4 hardware sessions:
     every FRESH Pallas kernel compile fails with `tpu_compile_helper
     subprocess exit code 1` while XLA-only programs compile fine).
@@ -264,39 +293,70 @@ def pallas_healthy() -> bool:
     the step program and crash the (much more expensive) warmup compile.
     Every consumer of a cached Pallas winner/probe gates on this.
 
-    Off-TPU always returns True (no Mosaic involved). The probe costs one
-    tiny kernel compile (~seconds on a healthy tunnel, fast-fail when the
-    helper is down); memoized per process.
+    Implemented on top of `mosaic_canary` (SUBPROCESS probe with a hard
+    timeout): the documented failure mode includes Mosaic compile RPCs
+    that HANG rather than fail fast, and an in-process pallas_call would
+    wedge the whole run uninterruptibly at the first call site. Only when
+    the subprocess cannot acquire a TPU client at all (single-process
+    device locks — the canary returns None) does the check fall back to
+    an in-process compile, which on such directly-attached hardware
+    fails fast rather than hanging.
+
+    Off-TPU always returns True (no Mosaic involved). Memoized per
+    process.
     """
     global _PALLAS_HEALTH
     if _PALLAS_HEALTH is not None:
         return _PALLAS_HEALTH
     import sys as _sys
 
+    forced = os.environ.get("PALLAS_HEALTH")
+    if forced in ("0", "1"):
+        # explicit override: "0" = treat Mosaic as down (skip every
+        # Pallas kernel), "1" = trust it without probing (skips the
+        # subprocess canary's cost in controlled A/B sessions)
+        _PALLAS_HEALTH = forced == "1"
+        return _PALLAS_HEALTH
+
     try:
         import jax
-        import jax.numpy as jnp
 
         if jax.default_backend() != "tpu":
             _PALLAS_HEALTH = True
             return True
-        from jax.experimental import pallas as pl
+    except Exception:  # noqa: BLE001 - backend init failure: no Pallas
+        _PALLAS_HEALTH = False
+        return False
+    ok = mosaic_canary()
+    if ok is None:
+        # subprocess probe uninformative (child could not acquire the
+        # TPU): in-process fallback — directly-attached hardware has no
+        # remote compile helper to hang on
+        try:
+            import jax.numpy as jnp
+            from jax.experimental import pallas as pl
 
-        def _k(x_ref, o_ref):
-            o_ref[...] = x_ref[...] + 1.0
+            def _k(x_ref, o_ref):
+                o_ref[...] = x_ref[...] + 1.0
 
-        x = jnp.zeros((8, 128), jnp.float32)
-        y = pl.pallas_call(
-            _k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
-        )(x)
-        jax.block_until_ready(y)
-        _PALLAS_HEALTH = True
-    except Exception as e:  # noqa: BLE001 - any failure means "not today"
+            x = jnp.zeros((8, 128), jnp.float32)
+            y = pl.pallas_call(
+                _k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype)
+            )(x)
+            jax.block_until_ready(y)
+            ok = True
+        except Exception as e:  # noqa: BLE001 - any failure: "not today"
+            print(
+                f"pallas health probe failed ({type(e).__name__}: "
+                f"{str(e)[:160]})",
+                file=_sys.stderr,
+            )
+            ok = False
+    if not ok:
         print(
-            f"pallas health probe failed ({type(e).__name__}: "
-            f"{str(e)[:160]}); cached Pallas winners disabled for this "
-            "process (XLA fallbacks take over)",
+            "pallas health probe failed; cached Pallas winners disabled "
+            "for this process (XLA fallbacks take over)",
             file=_sys.stderr,
         )
-        _PALLAS_HEALTH = False
+    _PALLAS_HEALTH = bool(ok)
     return _PALLAS_HEALTH

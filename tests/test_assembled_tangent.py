@@ -465,3 +465,65 @@ def test_block_refs_pallas_matvec_interpret(sym):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=0, atol=1e-5 * scale
     )
+
+
+def test_bf16_assembly_precision_divergence_class_pinned_on_cpu():
+    """Round-4 hardware finding: 1-pass bf16 tangent assembly
+    (`tangent_assembly_precision="default"`) DIVERGES Newton at
+    production scale, and CPU tests never caught it because
+    Precision.DEFAULT is a no-op off-TPU. The 'bf16emu' tier rounds the
+    assembly-matmul INPUTS to bf16 explicitly (faithful to one MXU pass:
+    bf16 inputs, f32 accumulation), so the failure class reproduces on
+    any backend: the same drive that converges cleanly at 'highest' must
+    fail (or stall past the reference's iteration budget) at 'bf16emu'.
+    Also pins the loud warning for the known-divergent tiers."""
+    import warnings
+
+    def run(precision):
+        params = AllParameters(
+            model="neo-Hookean", type_lin="CG", scenario="PF", dim=3,
+            poly_degree=2, delta_t=0.01, mu=0.5e6, nu=0.4, rho=1000.0,
+            tol_lin=1e-6, tol_u=1e-6, tol_f=1e-9, max_iterations_NR=10,
+            max_iterations_lin=1.0, dtype="float64",
+            solve_dtype="float32", preconditioner="MG",
+            precond_dtype="bfloat16", newton_forcing="ew",
+            newton_predictor=True, tangent_backend="assembled",
+            tangent_assembly_precision=precision,
+        )
+        mesh, tags = make_scenario_grid(
+            "PF", 3, 2, scale=1, solver="neo-Hookean"
+        )
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            model = NonlinearElasticity(params, mesh=mesh, tags=tags)
+        if precision in ("default", "bf16emu"):
+            assert any("DIVERGENT" in str(w.message) for w in caught), (
+                "known-divergent assembly precision must warn loudly"
+            )
+        stress_np = np.zeros((model.space.n_nodes, 3))
+        stress_np[model.space.boundary_nodes[model.interface_id], 0] = 5000.0
+        stress = jnp.asarray(stress_np, dtype=model.dtype)
+        state = model.initial_state()
+        newton = 0
+        bad = False
+        for _ in range(2):
+            state, info = model.step(state, stress)
+            newton += int(info.iterations)
+            if not bool(info.converged):
+                bad = True
+                break
+        max_u = float(jnp.max(jnp.abs(state.displacement)))
+        return bad, newton, max_u
+
+    bad_hi, newton_hi, u_hi = run("highest")
+    assert not bad_hi and u_hi < 1.0, (bad_hi, u_hi)
+
+    bad_emu, newton_emu, u_emu = run("bf16emu")
+    # the bug class must be VISIBLE on CPU: either Newton fails the
+    # iteration budget, or it burns far more iterations, or the
+    # "converged" solution is wrong by far more than the tolerances allow
+    assert (
+        bad_emu
+        or newton_emu >= newton_hi + 4
+        or abs(u_emu - u_hi) > 1e-3 * abs(u_hi)
+    ), (bad_emu, newton_emu, newton_hi, u_emu, u_hi)

@@ -197,6 +197,22 @@ VARIANTS.update(
         _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
         tangent_block_symmetric=True, tangent_matvec_kernel="blocks",
     ),
+    # round-5: modified-Newton tangent reuse (freeze the assembled
+    # tangent after iteration `tangent_reuse_after`, non-acceleration
+    # refresh safeguard) — attacks the largest round-4 profile block
+    # (per-iteration assembly, 43 ms x ~5 its at 1M DoF)
+    prodreuse=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        newton_tangent_reuse=True,
+    ),
+    prodreuse2=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        newton_tangent_reuse=True, tangent_reuse_after=2,
+    ),
+    prodreusesym=dict(
+        _PROD, newton_residual="mixed", mg_fine_smooth_degree=1,
+        newton_tangent_reuse=True, tangent_block_symmetric=True,
+    ),
     # f64-handback window of the mixed residual schedule
     prodw100=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=100.0),
     prodw300=dict(_PROD, newton_residual="mixed", newton_residual_f64_window=300.0),
