@@ -222,6 +222,12 @@ def run_steps(model, n_steps, magnitude=1000.0):
             cg_its=int(info.cg_iterations),
             converged=bool(info.converged),
             min_det_F=float(info.min_det_F),
+            # true per-step cost mix (round-5): f64/f32 residual
+            # evaluations actually paid and tangent assemblies run —
+            # the step-time model must not assume "1 f64 + rest f32"
+            f64_evals=int(info.f64_evals),
+            f32_evals=int(info.f32_evals),
+            tangent_asm=int(info.tangent_assemblies),
         )
     else:  # linear StepInfo: CG its + final absolute residual
         diag.update(
@@ -438,14 +444,20 @@ def _plausibility_guard(model, state, stress, diag, step_times):
                     )
                 tunecache.store("bench_guard", skey, vals)
             t64, t32 = vals["t64_s"], vals["t32_s"]
-            floor_s = t64 + (n_evals - 1) * t32
-            detail = f"1 f64 + {n_evals - 1} f32 residual evals"
+            # exact per-step evaluation mix when the model reports it
+            # (NewtonInfo.f64_evals/f32_evals, round-5); otherwise the
+            # conservative 1-f64-rest-f32 assumption
+            n64_evals = max(1, diag.get("f64_evals", 1))
+            n32_evals = max(0, diag.get("f32_evals", n_evals - 1))
+            floor_s = n64_evals * t64 + n32_evals * t32
+            detail = f"{n64_evals} f64 + {n32_evals} f32 residual evals"
             if tangent_parts:
                 # modified Newton (tangent reuse) legitimately assembles
                 # only once per step; a non-reuse run assembles every
-                # Newton iteration. The floor must bound BOTH.
-                n_asm = (
-                    1 if model.params.newton_tangent_reuse else n_evals
+                # Newton iteration. Use the reported count when present.
+                n_asm = diag.get(
+                    "tangent_asm",
+                    1 if model.params.newton_tangent_reuse else n_evals,
                 )
                 cg_its = max(1, diag.get("cg_its", 1))
                 per_cg = vals["t_mv_s"] + (

@@ -142,6 +142,15 @@ class NewtonInfo(NamedTuple):
     update_rel: jnp.ndarray
     cg_iterations: jnp.ndarray  # total CG iterations across Newton steps
     min_det_F: jnp.ndarray  # > 0 contract (`nonlinear_elasticity.cc:935`)
+    # cost attribution (round-5): exactly how many residual evaluations
+    # each precision paid (mixed schedule: calibration and stall-redo
+    # evaluations included) and how many tangent assemblies ran
+    # (modified Newton reuses; exact Newton assembles per solve). An f64
+    # evaluation costs ~13x an f32 one on TPUs that emulate f64, so the
+    # step-time model needs the true mix, not the assumed one.
+    f64_evals: jnp.ndarray = 0
+    f32_evals: jnp.ndarray = 0
+    tangent_assemblies: jnp.ndarray = 0
 
 
 class NonlinearElasticity:
@@ -1333,6 +1342,9 @@ class NonlinearElasticity:
                 #            () when tangent reuse is off)
                 ratio_prev: jnp.ndarray  # previous iteration's residual
                 #            contraction ratio (non-acceleration safeguard)
+                n64: jnp.ndarray  # f64 residual evaluations paid
+                n32: jnp.ndarray  # f32 residual evaluations paid
+                nasm: jnp.ndarray  # tangent assemblies/linearizations paid
 
             one = jnp.asarray(1.0, self.dtype)
 
@@ -1439,10 +1451,21 @@ class NonlinearElasticity:
                         stall, redo, keep, None
                     )
                     calibrated = jnp.logical_or(calibrated, stall)
+                    # eval accounting: e64/e32 pick one evaluation; the
+                    # floor calibration adds an f32; a stall-redo adds an
+                    # f64 on top of the f32 already paid
+                    n64_inc = jnp.where(was32, 0, 1) + jnp.where(
+                        stall, 1, 0
+                    )
+                    n32_inc = jnp.where(was32, 1, 0) + jnp.where(
+                        can_calib, 1, 0
+                    )
                 else:
                     rhs, min_J = self.residual(c.delta, state, stress)
                     res_floor = c.res_floor
                     calibrated = c.calibrated
+                    n64_inc = jnp.int32(1)
+                    n32_inc = jnp.int32(0)
                 res_abs = norm(rhs)
                 res0 = jnp.where(c.it == 0, jnp.maximum(res_abs, 1e-300), c.res0)
                 res_rel = res_abs / res0
@@ -1550,6 +1573,9 @@ class NonlinearElasticity:
                                     None,
                                 )
                                 K32 = make_tangent_matvec(Kt)
+                                asm_inc = jnp.where(refresh, 1, 0).astype(
+                                    jnp.int32
+                                )
                             else:
                                 # fresh tangent every iteration: keep it
                                 # local (the carry slot stays the empty
@@ -1558,9 +1584,11 @@ class NonlinearElasticity:
                                     assemble_Kt(u_t)
                                 )
                                 Kt = Kt_in
+                                asm_inc = jnp.int32(1)
 
                         else:
                             Kt = Kt_in
+                            asm_inc = jnp.int32(1)
                             _, jvp_int = jax.linearize(self._int_force_t, u_t)
 
                             def K32(v):
@@ -1594,7 +1622,9 @@ class NonlinearElasticity:
                             jnp.zeros((n_nodes, dim), dtype=tdtype),
                             tol=tol, max_iter=max_cg, preconditioner=precond_k,
                         )
-                        return r.x.astype(self.dtype), r.iterations, Kt
+                        return (
+                            r.x.astype(self.dtype), r.iterations, Kt, asm_inc
+                        )
 
                     # consistent tangent action via linearization at delta
                     _, jvp = jax.linearize(rhs_fn, c.delta)
@@ -1605,7 +1635,7 @@ class NonlinearElasticity:
                     if use_cg:
                         r = cg_solve(K, rhs, zero, tol=cg_tolerance(),
                                      max_iter=max_cg, preconditioner=precond)
-                        return r.x, r.iterations, Kt_in
+                        return r.x, r.iterations, Kt_in, jnp.int32(1)
                     # dense direct: materialize the tangent (small cases only)
                     basis = jnp.eye(n_nodes * dim, dtype=self.dtype)
                     cols = jax.vmap(
@@ -1613,12 +1643,15 @@ class NonlinearElasticity:
                         out_axes=1,
                     )(basis)
                     du = jnp.linalg.solve(cols, rhs.reshape(-1))
-                    return du.reshape(n_nodes, dim), jnp.int32(1), Kt_in
+                    return (
+                        du.reshape(n_nodes, dim), jnp.int32(1), Kt_in,
+                        jnp.int32(1),
+                    )
 
                 def no_solve(Kt_in):
-                    return zero, jnp.int32(0), Kt_in
+                    return zero, jnp.int32(0), Kt_in, jnp.int32(0)
 
-                du, cg_its, Kt_new = jax.lax.cond(
+                du, cg_its, Kt_new, asm_new = jax.lax.cond(
                     conv, no_solve, do_solve, c.Kt
                 )
                 upd_abs_new = norm(mask * du)
@@ -1648,6 +1681,9 @@ class NonlinearElasticity:
                     ratio_prev=jnp.where(
                         conv, c.ratio_prev, res_abs / c.res_abs
                     ),
+                    n64=c.n64 + n64_inc,
+                    n32=c.n32 + n32_inc,
+                    nasm=c.nasm + asm_new,
                 )
 
             if params.newton_predictor and not self.quasi_static:
@@ -1693,6 +1729,9 @@ class NonlinearElasticity:
                 want64_next=jnp.asarray(False),
                 Kt=Kt0,
                 ratio_prev=one,
+                n64=jnp.int32(0),
+                n32=jnp.int32(0),
+                nasm=jnp.int32(0),
             )
             return jax.lax.while_loop(cond, body, init)
 
@@ -1724,6 +1763,9 @@ class NonlinearElasticity:
                 update_rel=c.upd_rel,
                 cg_iterations=c.cg_total,
                 min_det_F=c.min_J,
+                f64_evals=c.n64,
+                f32_evals=c.n32,
+                tangent_assemblies=c.nasm,
             )
             return new_state, info
 

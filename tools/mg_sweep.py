@@ -225,6 +225,24 @@ VARIANTS.update(
         _PROD, newton_residual="mixed", newton_forcing="fixed",
         mg_fine_smooth_degree=1,
     ),
+    # round-5 drift diagnosis (verdict #9): the fixed-forcing study
+    # measured +21% CG its/solve over 72x DoF (15.3 -> 18.5). Separate
+    # coarse-solve quality from smoother strength: if q5 (stronger
+    # Chebyshev smoothing on every level) flattens the drift but c32k
+    # (8x bigger dense-Cholesky coarse base) does not, the drift is
+    # smoother-limited, and vice versa.
+    prodfixedq5=dict(
+        _PROD, newton_residual="mixed", newton_forcing="fixed",
+        mg_fine_smooth_degree=1, mg_smooth_degree=5,
+    ),
+    prodfixedf3=dict(
+        _PROD, newton_residual="mixed", newton_forcing="fixed",
+        mg_fine_smooth_degree=3,
+    ),
+    prodfixedc32k=dict(
+        _PROD, newton_residual="mixed", newton_forcing="fixed",
+        mg_fine_smooth_degree=1, mg_coarse_size=32000,
+    ),
 )
 
 
