@@ -72,7 +72,7 @@ def main():
     # f64 residual (latency-cancelled: the tunnel's per-dispatch round
     # trip is comparable to some of these components)
     zero = jnp.zeros((space.n_nodes, space.dim), dtype=model.dtype)
-    t = timeit_chained(lambda d: model.residual(d, state, stress)[0], zero)
+    t_res64 = t = timeit_chained(lambda d: model.residual(d, state, stress)[0], zero)
     print(f"f64 residual eval:        {t*1e3:9.2f} ms")
 
     # f32 tangent action (linearize once per Newton it, jvp per CG it)
@@ -82,7 +82,7 @@ def main():
 
     if getattr(model, "_residual32", None) is not None:
         z32 = zero.astype(tdt)
-        t = timeit_chained(
+        t_res32 = t = timeit_chained(
             lambda d: model._residual32(d.astype(tdt), state, stress)[0], z32
         )
         print(f"f32 residual eval:        {t*1e3:9.2f} ms")
@@ -136,7 +136,7 @@ def main():
             )
 
         asm_jit = jax.jit(assemble)
-        t = timeit(asm_jit, u_t)
+        t_asm = t = timeit(asm_jit, u_t)
         print(f"assemble cell tangents:   {t*1e3:9.2f} ms  (once per Newton it)")
 
         # IMPORTANT: the materialized tangent must be a runtime ARGUMENT
@@ -198,7 +198,7 @@ def main():
 
         t2 = min(run_one(g2) for _ in range(5))
         t12 = min(run_one(g12) for _ in range(5))
-        t = (t12 - t2) / 10 if t12 > t2 else t12 / 12
+        t_mv = t = (t12 - t2) / 10 if t12 > t2 else t12 / 12
         print(f"assembled tangent matvec: {t*1e3:9.2f} ms  (once per CG it)")
 
         # pack + pad (runs once per Newton iteration inside the step):
@@ -211,7 +211,7 @@ def main():
                     Kp = jnp.pad(Kp, ((0, 0), (0, 0), (0, pad)))
                 return Kp
 
-            t = timeit(jax.jit(pack_pad), Kc, n=5)
+            t_pack = t = timeit(jax.jit(pack_pad), Kc, n=5)
             print(f"tangent pack+pad:         {t*1e3:9.2f} ms  (once per Newton it)")
 
     # f64 state algebra bound: the Newmark/predictor updates are ~6
@@ -225,21 +225,21 @@ def main():
 
     zf = jnp.zeros((space.n_nodes, space.dim), dtype=model.dtype)
     of = jnp.ones_like(zf)
-    t = timeit(jax.jit(axpys), zf, of)
+    t_axpys = t = timeit(jax.jit(axpys), zf, of)
     print(f"12 f64 axpys @ (n,dim):   {t*1e3:9.2f} ms  (bounds Newmark algebra)")
 
     # f64 reduction (convergence norms: a few per Newton iteration)
-    t = timeit(jax.jit(lambda v: jnp.linalg.norm(v)), of)
+    t_norm = t = timeit(jax.jit(lambda v: jnp.linalg.norm(v)), of)
     print(f"f64 norm @ (n,dim):       {t*1e3:9.2f} ms")
 
     # mass op f32
     if model.M_t is not None:
-        t = timeit_chained(model.M_t, v32)
+        t_mass = t = timeit_chained(model.M_t, v32)
         print(f"mass matvec (f32):        {t*1e3:9.2f} ms")
 
     # MG V-cycle
     if model._precond is not None:
-        t = timeit_chained(model._precond, v32)
+        t_vc = t = timeit_chained(model._precond, v32)
         print(f"MG V-cycle (precond):     {t*1e3:9.2f} ms")
 
     # fixed 10-iteration CG on the constant mass-proxy operator (isolates
@@ -252,12 +252,57 @@ def main():
             b, jnp.zeros_like(b), tol=0.0, max_iter=10,
         ).x
 
-    t = timeit(jax.jit(cg10), v32)
+    t_cg10 = t = timeit(jax.jit(cg10), v32)
     print(f"10-it CG on mass (f32):   {t*1e3:9.2f} ms")
 
     # one full step for reference
-    t = timeit(lambda: model.step(state, stress), n=2)
-    print(f"full Newmark step:        {t*1e3:9.2f} ms")
+    t_step = timeit(lambda: model.step(state, stress), n=2)
+    print(f"full Newmark step:        {t_step*1e3:9.2f} ms")
+
+    # ---- closed-form reconstruction (round-5): combine the chained
+    # component timings with the step's OWN counters (NewtonInfo
+    # f64/f32_evals + tangent_assemblies, exact — not the round-4
+    # "1 f64 + rest f32" assumption) and print what remains
+    # unattributed. This is the tool that locates the round-4 profile's
+    # missing ~210 ms/step.
+    _, info = model.step(state, stress)
+    n64 = int(getattr(info, "f64_evals", info.iterations))
+    n32 = int(getattr(info, "f32_evals", 0))
+    nasm = int(getattr(info, "tangent_assemblies", info.iterations))
+    newton = int(info.iterations)
+    cg = int(info.cg_iterations)
+    print(
+        f"counters: newton={newton} cg={cg} f64_evals={n64} "
+        f"f32_evals={n32} tangent_asm={nasm}"
+    )
+    loc = locals()
+    t_res32_ = loc.get("t_res32", 0.0)
+    t_asm_ = loc.get("t_asm", 0.0)
+    t_mv_ = loc.get("t_mv", 0.0)
+    t_pack_ = loc.get("t_pack", 0.0)
+    t_vc_ = loc.get("t_vc", 0.0)
+    t_mass_ = loc.get("t_mass", 0.0)
+    cg_oh = max(t_cg10 - 10.0 * t_mass_, 0.0) / 10.0
+    parts = [
+        ("f64 residuals", n64 * t_res64),
+        ("f32 residuals", n32 * t_res32_),
+        ("tangent assemblies (+pack)", nasm * (t_asm_ + t_pack_)),
+        ("CG matvecs", cg * t_mv_),
+        ("CG V-cycles", cg * t_vc_),
+        ("CG loop overhead", cg * cg_oh),
+        ("norms (~3/newton it)", 3 * newton * t_norm),
+        ("Newmark/predictor algebra", t_axpys),
+    ]
+    recon = sum(v for _, v in parts)
+    print("reconstruction from counters x chained components:")
+    for name, v in parts:
+        print(f"  {name:28s} {v*1e3:9.2f} ms")
+    print(f"  {'RECONSTRUCTED':28s} {recon*1e3:9.2f} ms")
+    print(f"  {'MEASURED step':28s} {t_step*1e3:9.2f} ms")
+    print(
+        f"  {'UNATTRIBUTED':28s} {(t_step - recon)*1e3:9.2f} ms "
+        f"({(t_step - recon)/t_step*100:.1f}% of step)"
+    )
 
 
 if __name__ == "__main__":
