@@ -378,7 +378,14 @@ class SurrogateFluidParticipant:
                     self._omega = -self._omega * float(
                         np.vdot(self._r_prev, dr)
                     ) / denom
-                    # preCICE clamps Aitken factors to a sane range
+                    # surrogate-only stabilization: keep the factor in a
+                    # sane range so a near-orthogonal residual pair can't
+                    # blow up the test double. (preCICE itself handles
+                    # this differently — it caps the INITIAL factor and
+                    # manages sign internally — so do not read this clamp
+                    # as Aitken fidelity; the surrogate only needs to
+                    # drive the adapter through realistic implicit
+                    # windows.)
                     self._omega = float(np.clip(self._omega, -10.0, 10.0))
             self.omega_history.append(self._omega)
             self._u_relaxed = self._u_relaxed + self._omega * r
