@@ -407,6 +407,21 @@ def _plausibility_guard(model, state, stress, diag, step_times):
                     if over_budget("f64 residual floor measurement"):
                         return
                     vals["t64_s"] = _time_chained(res64, zero)
+                # the tangent/V-cycle parts TIGHTEN the floor; an
+                # infrastructure failure measuring them (e.g. a tunnel
+                # compile-request limit) must degrade the floor to the
+                # residual-only bound, not erase a finished measurement
+                def try_measure(what, fn):
+                    try:
+                        fn()
+                    except Exception as e:  # noqa: BLE001 - infra only
+                        print(
+                            f"bench guard: could not measure {what} "
+                            f"({type(e).__name__}: {str(e)[:140]}); floor "
+                            "degrades to the parts measured",
+                            file=sys.stderr,
+                        )
+
                 if tangent_parts and (
                     "t_asm_s" not in vals or "t_mv_s" not in vals
                 ):
@@ -427,20 +442,62 @@ def _plausibility_guard(model, state, stress, diag, step_times):
                         )
                         return u + (s * 1e-30).astype(u.dtype)
 
-                    vals["t_asm_s"] = _time_chained(
-                        asm_field, z32, chain_short=2, chain_long=6
-                    )
-                    K32 = make_mv(assemble_Kt(z32))
-                    vals["t_mv_s"] = _time_chained(K32, z32)
+                    def measure_tangent():
+                        vals["t_asm_s"] = _time_chained(
+                            asm_field, z32, chain_short=2, chain_long=6
+                        )
+                        # matvec timed INSIDE one program that assembles
+                        # the tangent on-device: materializing Kt at the
+                        # host boundary (closure constant OR explicit jit
+                        # argument) exceeds the axon tunnel's compile-
+                        # request limit at 1M DoF (HTTP 413, round-5).
+                        # The chain difference cancels the one assembly.
+                        import jax as _jx
+
+                        def mv_chain(n):
+                            def prog(u):
+                                K32 = make_mv(assemble_Kt(u))
+                                return _jx.lax.scan(
+                                    lambda c, _: (
+                                        K32(c).astype(c.dtype), None,
+                                    ),
+                                    u, None, length=n,
+                                )[0]
+
+                            g = _jx.jit(prog)
+                            out = g(z32)
+                            _jx.block_until_ready(out)
+
+                            def run():
+                                t0 = time.perf_counter()
+                                r = g(z32)
+                                _jx.block_until_ready(r)
+                                float(jnp.vdot(r[0], r[0]))
+                                return time.perf_counter() - t0
+
+                            return run
+
+                        rs, rl = mv_chain(2), mv_chain(12)
+                        ts = min(rs() for _ in range(5))
+                        tl = min(rl() for _ in range(5))
+                        t = (tl - ts) / 10.0
+                        vals["t_mv_s"] = t if t > 0 else tl / 12.0
+
+                    try_measure("tangent assembly/matvec", measure_tangent)
                 if mg_parts and "t_vc_s" not in vals:
                     if over_budget("V-cycle floor measurement"):
                         return
                     pdt = model._precond.dtype
-                    vals["t_vc_s"] = _time_chained(
-                        lambda v: model._precond(v.astype(pdt)).astype(
-                            v.dtype
+                    try_measure(
+                        "MG V-cycle",
+                        lambda: vals.update(
+                            t_vc_s=_time_chained(
+                                lambda v: model._precond(
+                                    v.astype(pdt)
+                                ).astype(v.dtype),
+                                z32,
+                            )
                         ),
-                        z32,
                     )
                 tunecache.store("bench_guard", skey, vals)
             t64, t32 = vals["t64_s"], vals["t32_s"]
@@ -451,7 +508,7 @@ def _plausibility_guard(model, state, stress, diag, step_times):
             n32_evals = max(0, diag.get("f32_evals", n_evals - 1))
             floor_s = n64_evals * t64 + n32_evals * t32
             detail = f"{n64_evals} f64 + {n32_evals} f32 residual evals"
-            if tangent_parts:
+            if tangent_parts and "t_asm_s" in vals and "t_mv_s" in vals:
                 # modified Newton (tangent reuse) legitimately assembles
                 # only once per step; a non-reuse run assembles every
                 # Newton iteration. Use the reported count when present.
@@ -460,14 +517,12 @@ def _plausibility_guard(model, state, stress, diag, step_times):
                     1 if model.params.newton_tangent_reuse else n_evals,
                 )
                 cg_its = max(1, diag.get("cg_its", 1))
-                per_cg = vals["t_mv_s"] + (
-                    vals["t_vc_s"] if mg_parts else 0.0
-                )
+                per_cg = vals["t_mv_s"] + vals.get("t_vc_s", 0.0)
                 floor_s += n_asm * vals["t_asm_s"] + cg_its * per_cg
                 detail += (
                     f" + {n_asm} tangent asm x {vals['t_asm_s']*1e3:.1f} ms"
                     f" + {cg_its} CG its x {per_cg*1e3:.2f} ms (matvec"
-                    + ("+V-cycle)" if mg_parts else ")")
+                    + ("+V-cycle)" if "t_vc_s" in vals else ")")
                 )
             floor = 0.5 * floor_s
             per_step = min(step_times)
@@ -614,6 +669,21 @@ def main():
 
     _enable_compile_cache()
 
+    # Mosaic health canary FIRST, before anything initializes this
+    # process's TPU backend: the subprocess probe is only accurate
+    # pre-attach (a canary child spawned after the parent holds a TPU
+    # client hangs unconditionally — round-5 finding, utils/tunecache).
+    # The memoized verdict then serves every lazy call site in setup.
+    if os.environ.get("BENCH_USE_PALLAS", "1") == "1":
+        from dealii_adapter_tpu.utils import tunecache as _tc
+
+        _t0 = time.perf_counter()
+        _log(
+            f"mosaic canary (pre-attach): "
+            f"{'healthy' if _tc.pallas_healthy() else 'DOWN'} "
+            f"in {time.perf_counter() - _t0:.1f}s"
+        )
+
     bench_model = os.environ.get("BENCH_MODEL", "nonlinear")
     assert bench_model in ("nonlinear", "linear"), bench_model
     build = build_model if bench_model == "nonlinear" else build_linear_model
@@ -751,6 +821,37 @@ def _run_streaming(cmd, env):
         cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True, bufsize=1,
     )
+
+    # If THIS supervisor is killed (driver timeout, operator Ctrl-C), the
+    # worker must die with it: an orphaned worker keeps holding the TPU
+    # client, and any other process's fresh Mosaic compile hangs for as
+    # long as it lives (round-5 finding, utils/tunecache.mosaic_canary) —
+    # an invisible way to wedge every subsequent run on the host.
+    import atexit
+    import signal
+
+    def _reap(*_a):
+        try:
+            proc.kill()
+        except Exception:  # noqa: BLE001 - already gone
+            pass
+
+    atexit.register(_reap)
+    for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            _prev = signal.getsignal(_sig)
+
+            def _h(sn, fr, _prev=_prev):
+                _reap()
+                if callable(_prev):
+                    _prev(sn, fr)
+                else:
+                    raise SystemExit(128 + sn)
+
+            signal.signal(_sig, _h)
+        except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
+
     captured = {"out": [], "err": []}
 
     def pump(stream, sink, store):

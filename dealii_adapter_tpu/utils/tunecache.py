@@ -155,7 +155,9 @@ _DEVICE_ACQUIRE_MARKERS = (
 )
 
 
-def mosaic_canary(timeout_s: float = 150.0) -> Optional[bool]:
+def mosaic_canary(
+    timeout_s: float = 60.0, attempts: int = 3
+) -> Optional[bool]:
     """True/False if this host can compile AND run a trivial Mosaic
     (Pallas) kernel within `timeout_s` right now; None if the subprocess
     probe is uninformative (the child could not acquire a TPU client at
@@ -168,34 +170,66 @@ def mosaic_canary(timeout_s: float = 150.0) -> Optional[bool]:
     in-process probe would freeze the whole run inside a jit compile
     that Python cannot interrupt. The compilation cache is disabled in
     the child and the kernel is salted with the current time so a cached
-    binary can never mask a wedged compiler. Result is cached for the
-    process lifetime; callers that get False must skip every Pallas
-    kernel (including sidecar-cached 'ok' ones — their STEP program
-    would hang at its own compile) and take the XLA fallbacks."""
+    binary can never mask a wedged compiler.
+
+    ROUND-5 FINDING — call this BEFORE the calling process initializes
+    its TPU backend. Controlled experiments on the axon tunnel showed
+    the hang is a CROSS-PROCESS phenomenon: a fresh Mosaic compile from
+    process B reliably hangs while any other process A holds a TPU
+    client (XLA compiles and cached-binary execution from B are fine),
+    and completes in 1.6-11 s as soon as A exits. In-process Mosaic
+    compiles in the attached process itself are unaffected. So a canary
+    child spawned AFTER the parent attaches is guaranteed to time out
+    and read as "Mosaic down" — a false negative that demotes the whole
+    run to the ~6x-slower XLA fallbacks (this burned two round-5 bench
+    runs). `pallas_healthy` enforces the ordering by only using this
+    subprocess probe pre-attach.
+
+    A timed-out probe is retried (default 3 attempts, sleep 15 s apart):
+    the outage comes in multi-minute windows with full recovery (round-5
+    idle-machine measurement: False/False/True over ~3.5 min), and one
+    blip must not demote a whole run. The child's stdio is detached to files/devnull so no
+    descriptor inheritance can ever deadlock the pair. Result is cached
+    for the process lifetime; callers that get False must skip every
+    Pallas kernel (including sidecar-cached 'ok' ones — their STEP
+    program would hang at its own compile) and take the XLA fallbacks."""
     if "ok" in _MOSAIC_CANARY:
         return _MOSAIC_CANARY["ok"]
     import subprocess
     import sys
+    import tempfile
     import time as _time
 
-    src = _CANARY_SRC.format(salt=round(2.0 + (_time.time() % 997) / 1e4, 8))
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", src],
-            timeout=timeout_s,
-            capture_output=True,
+    ok: Optional[bool] = False
+    for attempt in range(attempts):
+        src = _CANARY_SRC.format(
+            salt=round(2.0 + (_time.time() % 997) / 1e4, 8)
         )
-        if proc.returncode == 0:
-            ok: Optional[bool] = True
-        else:
-            err = (proc.stderr or b"").decode("utf-8", "replace")
-            ok = (
-                None
-                if any(m in err for m in _DEVICE_ACQUIRE_MARKERS)
-                else False
-            )
-    except subprocess.TimeoutExpired:
-        ok = False
+        with tempfile.TemporaryFile() as err_f:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", src],
+                    timeout=timeout_s,
+                    stdin=subprocess.DEVNULL,
+                    stdout=subprocess.DEVNULL,
+                    stderr=err_f,
+                )
+            except subprocess.TimeoutExpired:
+                ok = False  # wedged compile: maybe a transient window
+                if attempt < attempts - 1:
+                    _time.sleep(15.0)
+                continue
+            if proc.returncode == 0:
+                ok = True
+            else:
+                err_f.seek(0)
+                err = err_f.read().decode("utf-8", "replace")
+                ok = (
+                    None
+                    if any(m in err for m in _DEVICE_ACQUIRE_MARKERS)
+                    else False
+                )
+            break
     _MOSAIC_CANARY["ok"] = ok
     return ok
 
@@ -293,14 +327,18 @@ def pallas_healthy() -> bool:
     the step program and crash the (much more expensive) warmup compile.
     Every consumer of a cached Pallas winner/probe gates on this.
 
-    Implemented on top of `mosaic_canary` (SUBPROCESS probe with a hard
-    timeout): the documented failure mode includes Mosaic compile RPCs
-    that HANG rather than fail fast, and an in-process pallas_call would
-    wedge the whole run uninterruptibly at the first call site. Only when
-    the subprocess cannot acquire a TPU client at all (single-process
-    device locks — the canary returns None) does the check fall back to
-    an in-process compile, which on such directly-attached hardware
-    fails fast rather than hanging.
+    Probe strategy (round-5 finding, see `mosaic_canary`): a fresh
+    Mosaic compile from a SECOND process hangs whenever another process
+    holds a TPU client, so the subprocess canary is only accurate while
+    this process has not yet initialized its backend. Entry points that
+    will run Pallas kernels (bench.py, cli.py, tools/*) therefore call
+    this FIRST, pre-attach, and the memoized verdict serves every later
+    lazy call site. If the first call arrives only after the backend is
+    live (library embedders), the check falls back to an IN-PROCESS
+    compile of the trivial kernel — unaffected by the cross-process
+    hang; it can only wedge in the rarer round-4 "helper down" mode,
+    where the run's phase watchdog/deadline is the backstop (and where
+    any Pallas step compile would have hung identically anyway).
 
     Off-TPU always returns True (no Mosaic involved). Memoized per
     process.
@@ -318,20 +356,53 @@ def pallas_healthy() -> bool:
         _PALLAS_HEALTH = forced == "1"
         return _PALLAS_HEALTH
 
+    # Is this process's backend already initialized? (Decides which probe
+    # is trustworthy — see docstring.) Private-API peek with a paranoid
+    # fallback: treat "can't tell" as attached, which degrades to the
+    # in-process probe, never to a guaranteed-false-negative canary.
     try:
-        import jax
+        from jax._src import xla_bridge as _xb
 
-        if jax.default_backend() != "tpu":
-            _PALLAS_HEALTH = True
+        attached = bool(getattr(_xb, "_backends", None))
+    except Exception:  # noqa: BLE001 - jax internals moved
+        attached = True
+
+    if not attached:
+        # Pre-attach: decide the platform WITHOUT initializing it —
+        # jax.default_backend() would attach this process to the chip
+        # and thereby wedge the canary child it is about to gate. The
+        # platform request is static config (this image: sitecustomize
+        # sets JAX_PLATFORMS=axon), so reading it is side-effect-free.
+        try:
+            import jax
+
+            platforms = (
+                os.environ.get("JAX_PLATFORMS")
+                or getattr(jax.config, "jax_platforms", None)
+                or ""
+            )
+        except Exception:  # noqa: BLE001
+            platforms = ""
+        first = platforms.split(",")[0].strip().lower()
+        if first in ("cpu", "gpu", "cuda", "rocm"):
+            _PALLAS_HEALTH = True  # no Mosaic involved off-TPU
             return True
-    except Exception:  # noqa: BLE001 - backend init failure: no Pallas
-        _PALLAS_HEALTH = False
-        return False
-    ok = mosaic_canary()
+        ok: Optional[bool] = mosaic_canary()
+    else:
+        try:
+            import jax
+
+            if jax.default_backend() != "tpu":
+                _PALLAS_HEALTH = True
+                return True
+        except Exception:  # noqa: BLE001 - backend init failure
+            _PALLAS_HEALTH = False
+            return False
+        ok = None  # attached: subprocess canary would false-negative
     if ok is None:
-        # subprocess probe uninformative (child could not acquire the
-        # TPU): in-process fallback — directly-attached hardware has no
-        # remote compile helper to hang on
+        # attached (or canary uninformative): in-process probe — immune
+        # to the cross-process hang; fails fast on the round-4
+        # "helper down" mode's HTTP-500s
         try:
             import jax.numpy as jnp
             from jax.experimental import pallas as pl
