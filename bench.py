@@ -124,9 +124,25 @@ def build_model(scale, dtype, degree, device_mesh=None):
         # block (per-iteration assembly, 43 ms x ~5 its at 1M DoF)
         newton_tangent_reuse=os.environ.get("BENCH_TANGENT_REUSE", "0")
         == "1",
+        # how many leading Newton iterations assemble fresh before the
+        # freeze (round-5 hardware A/B: after=1 traded 3 skipped
+        # assemblies for +1 Newton iteration and lost; after=2 keeps the
+        # quadratic phase intact)
+        tangent_reuse_after=int(
+            os.environ.get("BENCH_TANGENT_REUSE_AFTER", "1")
+        ),
         tangent_refresh_ratio=float(
             os.environ.get("BENCH_TANGENT_REFRESH_RATIO", "0.02")
         ),
+        # mixed residual schedule: hand back to f64 within this multiple
+        # of the measured f32 noise floor (A/B knob: the f64 residual is
+        # the single largest per-step block at 1M DoF, 5 x 38.7 ms)
+        newton_residual_f64_window=float(
+            os.environ.get("BENCH_F64_WINDOW", "30.0")
+        ),
+        # sum-factorized f64 cell kernels (~13x fewer multiplies on the
+        # emulated-f64 contractions that dominate the f64 residual)
+        use_sumfact=os.environ.get("BENCH_SUMFACT", "0") == "1",
     )
     mesh, tags = make_scenario_grid(
         "PF", 3, degree, scale=scale, solver="neo-Hookean"
