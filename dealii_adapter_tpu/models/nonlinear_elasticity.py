@@ -1432,9 +1432,15 @@ class NonlinearElasticity:
                     # stall detection: an f32 iteration that fails to cut
                     # the residual in half has hit (or approached) the f32
                     # noise floor — re-evaluate THIS iterate in f64 and
-                    # re-calibrate the floor from the difference.
+                    # re-calibrate the floor from the difference. Written
+                    # NaN-safe (~(x <= y) instead of x > y): an f32
+                    # residual that overflows/NaNs at a large iterate
+                    # must hand back to f64 rather than feed NaN to the
+                    # whole Newton carry (round-5: a diverging-load test
+                    # showed 12 straight f32 evals riding a NaN residual
+                    # because NaN > x is False)
                     stall = jnp.logical_and(
-                        was32, res_abs0 > 0.5 * c.res_abs
+                        was32, ~(res_abs0 <= 0.5 * c.res_abs)
                     )
 
                     def redo(_):

@@ -449,11 +449,18 @@ def test_newton_tangent_reuse_safeguard_large_step():
     iterate moves far from the predictor, the frozen tangent goes stale,
     and only the refresh safeguard (re-assemble when an iteration fails
     to cut the residual below `tangent_refresh_ratio`) keeps Newton
-    converging. Must converge to the exact-tangent trajectory."""
+    converging. Must converge to the exact-tangent trajectory.
+
+    Traction 30000 is the largest probed load where the EXACT-tangent
+    production config still converges in 2 dynamic steps on this mesh
+    (50000 diverges for both paths — det F goes negative mid-iterate),
+    while still forcing increments large enough that the frozen tangent
+    goes stale (measured: reuse pays +4 its over the 2 steps)."""
     u_exact, n_exact, _, _ = _run_production_steps(
-        n_steps=2, traction=50000.0
+        n_steps=2, traction=30000.0
     )
     u_reuse, n_reuse, _, _ = _run_production_steps(
-        n_steps=2, traction=50000.0, newton_tangent_reuse=True
+        n_steps=2, traction=30000.0, newton_tangent_reuse=True
     )
     assert abs(u_reuse - u_exact) <= 1e-5 * abs(u_exact), (u_reuse, u_exact)
+    assert n_reuse <= n_exact + 6, (n_reuse, n_exact)
